@@ -1,0 +1,150 @@
+"""Batched negacyclic NTT over Z_q[X]/(X^N+1).
+
+Merged-twist DIT/DIF form (Algorithms 1-2 of eprint 2016/504, as used by the
+reference `util/src/ring/fft.rs:40-77` + `util/src/ring/fft/zq.rs`): the
+forward transform takes normal-order input to bit-reversed order; the inverse
+takes bit-reversed back to normal order; pointwise products in between never
+observe the ordering.
+
+TPU-first design decisions:
+- The transform is expressed as log N *vectorized stages* over a trailing
+  coefficient axis; any number of leading batch axes (ciphertext batch, RNS
+  limb, gadget digit) ride along for free and XLA fuses the butterfly chain.
+- All twiddle multiplies use Shoup pairs (twiddles are constants), so a
+  butterfly costs one mulhi64 + two wrapping muls on u32 limb lanes.
+- Twiddle stacks are pure host-precomputed arrays (no global caches); a
+  plan is just a frozen bundle of constants captured by jit.
+
+Twiddle values match the reference's tables: psi_br[k] = psi_{2N}^{bitrev(k)}
+with psi_{2N} = generator(q)^((q-1)/2N), identical to indexing the
+bit-reversed full two-adic table at [m..2m] per stage (`fft/zq.rs:58-67`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.primes import mod_inverse, two_adic_generator
+from .modular import ZqParams, mul_mod, mul_shoup, shoup_precompute, sub_mod, u64
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    """Permutation j -> bitrev_{log n}(j)."""
+    log_n = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@dataclass(frozen=True, eq=False)
+class NttPlan:
+    """Pure precomputed twiddle stacks for one (q, n)."""
+
+    q: int
+    n: int
+    log_n: int
+    zq: ZqParams
+    psi_br: np.ndarray  # (n,) u64: psi_{2n}^{bitrev(k)}
+    psi_br_shoup: np.ndarray
+    psi_inv_br: np.ndarray  # elementwise inverse of psi_br
+    psi_inv_br_shoup: np.ndarray
+    n_inv: int
+    n_inv_shoup: int
+
+
+@lru_cache(maxsize=None)
+def ntt_plan(q: int, n: int) -> NttPlan:
+    assert n & (n - 1) == 0
+    log_n = n.bit_length() - 1
+    assert (q - 1) % (2 * n) == 0, f"q={q} is not NTT-friendly for n={n}"
+    psi = two_adic_generator(q, log_n + 1)  # order 2n
+    rev = bit_reverse_indices(n)
+    pow_list = []
+    acc = 1
+    for _ in range(n):
+        pow_list.append(acc)
+        acc = acc * psi % q
+    inv_list = [mod_inverse(p, q) for p in pow_list]
+    # table[k] = psi^k, then bit-reverse, matching `fft/zq.rs:58-67`
+    psi_br = np.array(pow_list, dtype=np.uint64)[rev]
+    psi_inv_br = np.array(inv_list, dtype=np.uint64)[rev]
+    n_inv = mod_inverse(n % q, q)
+    return NttPlan(
+        q=q,
+        n=n,
+        log_n=log_n,
+        zq=ZqParams(q),
+        psi_br=psi_br,
+        psi_br_shoup=shoup_precompute(psi_br, q),
+        psi_inv_br=psi_inv_br,
+        psi_inv_br_shoup=shoup_precompute(psi_inv_br, q),
+        n_inv=n_inv,
+        n_inv_shoup=int(shoup_precompute(n_inv, q)),
+    )
+
+
+def ntt(a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Forward negacyclic NTT over the last axis: normal -> bit-reversed order."""
+    n, q = plan.n, plan.q
+    if n == 1:
+        return u64(a)
+    batch = a.shape[:-1]
+    out = u64(a)
+    for layer in range(plan.log_n):
+        m = 1 << layer
+        half = n >> (layer + 1)
+        x = out.reshape(*batch, m, 2, half)
+        u, v = x[..., 0, :], x[..., 1, :]
+        t = jnp.asarray(plan.psi_br[m : 2 * m])[:, None]
+        ts = jnp.asarray(plan.psi_br_shoup[m : 2 * m])[:, None]
+        tv = mul_shoup(v, t, ts, q)
+        out = jnp.stack(
+            [_add_mod(u, tv, q), _sub_mod_c(u, tv, q)], axis=-2
+        ).reshape(*batch, n)
+    return out
+
+
+def intt(a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Inverse negacyclic NTT over the last axis: bit-reversed -> normal order."""
+    n, q = plan.n, plan.q
+    if n == 1:
+        return u64(a)
+    batch = a.shape[:-1]
+    out = u64(a)
+    for layer in reversed(range(plan.log_n)):
+        m = 1 << layer
+        half = n >> (layer + 1)
+        x = out.reshape(*batch, m, 2, half)
+        u, v = x[..., 0, :], x[..., 1, :]
+        t = jnp.asarray(plan.psi_inv_br[m : 2 * m])[:, None]
+        ts = jnp.asarray(plan.psi_inv_br_shoup[m : 2 * m])[:, None]
+        s = _add_mod(u, v, q)
+        d = mul_shoup(_sub_mod_c(u, v, q), t, ts, q)
+        out = jnp.stack([s, d], axis=-2).reshape(*batch, n)
+    return mul_shoup(out, u64(plan.n_inv), u64(plan.n_inv_shoup), q)
+
+
+def pointwise_mul(a: jnp.ndarray, b: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Pointwise product in evaluation basis (general Montgomery path)."""
+    return mul_mod(a, b, plan.zq)
+
+
+def negacyclic_mul(a: jnp.ndarray, b: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Full coefficient-basis negacyclic product: NTT -> pointwise -> INTT."""
+    return intt(pointwise_mul(ntt(a, plan), ntt(b, plan), plan), plan)
+
+
+def _add_mod(a, b, q):
+    s = a + b
+    qq = u64(q)
+    return jnp.where(s >= qq, s - qq, s)
+
+
+def _sub_mod_c(a, b, q):
+    return sub_mod(a, b, q)
