@@ -1,0 +1,125 @@
+"""FhewBool: encrypted boolean with operator overloading
+(reference `scheme/fhew/src/fhew/boolean.rs`).
+
+A FhewBool wraps one LWE ciphertext plus a handle to the bootstrap key.
+Derived circuits (select, adders, subtractors) are gate compositions exactly
+as `boolean.rs:135-176`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+
+from . import gates, lwe, rlwe
+from .bootstrapping import BootstrapKey, BootstrapParams
+from .lwe import LweCiphertext
+from .rlwe import RlweCiphertext
+
+
+@dataclass
+class FhewBool:
+    ct: LweCiphertext
+    params: BootstrapParams
+    key: BootstrapKey
+
+    # -- encryption / decryption ---------------------------------------------
+
+    @classmethod
+    def sk_encrypt(
+        cls,
+        params: BootstrapParams,
+        key: BootstrapKey,
+        sk: np.ndarray,
+        m: bool,
+        rng: np.random.Generator,
+    ) -> "FhewBool":
+        ct = lwe.sk_encrypt(params.lwe_z, sk, gates.encode_bool(params, m), rng)
+        return cls(ct, params, key)
+
+    @classmethod
+    def pk_encrypt(
+        cls,
+        params: BootstrapParams,
+        key: BootstrapKey,
+        pk: RlweCiphertext,
+        m: bool,
+        rng: np.random.Generator,
+    ) -> "FhewBool":
+        """RLWE-encrypt the constant then sample-extract (`boolean.rs:27-35`)."""
+        import jax.numpy as jnp
+
+        const = jnp.zeros(params.n, dtype=jnp.uint64).at[0].set(int(m))
+        pt = rlwe.encode(params.rlwe, const)
+        ct = rlwe.pk_encrypt(params.rlwe, pk, pt, rng)
+        return cls(rlwe.sample_extract(params.rlwe, ct, 0), params, key)
+
+    def decrypt(self, sk: np.ndarray) -> bool:
+        pt = lwe.decrypt(self.params.lwe_z, sk, self.ct)
+        return bool(np.asarray(gates.decode_bool(self.params, pt)))
+
+    def share_decrypt(self, sk: np.ndarray, rng: np.random.Generator):
+        return lwe.share_decrypt(self.params.lwe_z, sk, self.ct.a, rng)
+
+    def decryption_share_merge(self, shares: Iterable) -> bool:
+        pt = lwe.decryption_share_merge(self.params.lwe_z, self.ct.b, shares)
+        return bool(np.asarray(gates.decode_bool(self.params, pt)))
+
+    # -- gates ----------------------------------------------------------------
+
+    def _wrap(self, ct: LweCiphertext) -> "FhewBool":
+        return FhewBool(ct, self.params, self.key)
+
+    def _gate(self, name: str, *others: "FhewBool") -> "FhewBool":
+        return self._wrap(
+            gates.gate(self.params, self.key, name, self.ct, *(o.ct for o in others))
+        )
+
+    def __invert__(self) -> "FhewBool":
+        return self._wrap(gates.not_(self.params, self.ct))
+
+    def __and__(self, o: "FhewBool") -> "FhewBool":
+        return self._gate("and", o)
+
+    def __or__(self, o: "FhewBool") -> "FhewBool":
+        return self._gate("or", o)
+
+    def __xor__(self, o: "FhewBool") -> "FhewBool":
+        return self._gate("xor", o)
+
+    def nand(self, o: "FhewBool") -> "FhewBool":
+        return self._gate("nand", o)
+
+    def nor(self, o: "FhewBool") -> "FhewBool":
+        return self._gate("nor", o)
+
+    def xnor(self, o: "FhewBool") -> "FhewBool":
+        return self._gate("xnor", o)
+
+    def majority(self, o1: "FhewBool", o2: "FhewBool") -> "FhewBool":
+        return self._gate("majority", o1, o2)
+
+    # -- derived circuits (`boolean.rs:135-176`) ------------------------------
+
+    def select(self, f: "FhewBool", t: "FhewBool") -> "FhewBool":
+        return (~self & f) | (self & t)
+
+    def overflowing_add(self, rhs: "FhewBool") -> tuple["FhewBool", "FhewBool"]:
+        return self ^ rhs, self & rhs
+
+    def carrying_add(
+        self, rhs: "FhewBool", carry: "FhewBool"
+    ) -> tuple["FhewBool", "FhewBool"]:
+        t = self ^ rhs
+        return t ^ carry, (self & rhs) | (t & carry)
+
+    def overflowing_sub(self, rhs: "FhewBool") -> tuple["FhewBool", "FhewBool"]:
+        return self ^ rhs, ~self & rhs
+
+    def borrowing_sub(
+        self, rhs: "FhewBool", borrow: "FhewBool"
+    ) -> tuple["FhewBool", "FhewBool"]:
+        t = self ^ rhs
+        return t ^ borrow, (~self & rhs) | (~t & borrow)

@@ -1,0 +1,421 @@
+"""LMKCDEY blind-rotation bootstrapping (eprint 2022/198), TPU-native.
+
+Reference: `scheme/fhew/src/bootstrapping.rs`. The flow (Figure 2 / Alg 3,
+`bootstrapping.rs:148-209`):
+
+    mod_switch(Q -> Q_ks) -> LWE key_switch (N -> n) -> mod_switch_odd(-> 2N)
+    -> blind rotate (external products bucketed by dlog_g(a_i), automorphism
+       every <= w steps) -> sample_extract(0)
+
+TPU-first control-flow design (SURVEY.md §7.3 hard part 4): the reference's
+blind-rotate inner loop is data-dependent Python-hostile branching, but the
+LWE mask `a` is PUBLIC -- so the exact (ext-product | automorphism) step
+sequence is computed on host per ciphertext as small index arrays, and the
+device side is a single `lax.scan` over a padded, fixed-length schedule whose
+body switches between three static branches. All keys live in evaluation
+basis / Montgomery domain and are gathered per step by index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.modular import add_mod, neg_mod, u64
+from ...ops.poly import automorphism_map, automorphism_zq, monomial_mul_zq
+from . import lwe, rgsw, rlwe
+from .lwe import LweCiphertext, LweKeySwitchingKey
+from .params import AUTO_G, LweParams, RgswParams, RlweParams
+from .rgsw import RgswEval
+from .rlwe import RlweCiphertext
+
+OP_EXT, OP_AUTO, OP_NOOP = 0, 1, 2
+
+
+@dataclass(frozen=True)
+class BootstrapParams:
+    """RGSW(big Q, N) + small LWE(q_ks, n) + window w (`bootstrapping.rs:21-90`)."""
+
+    rgsw: RgswParams
+    lwe_s: LweParams
+    w: int
+
+    def __post_init__(self):
+        assert self.rgsw.p == self.lwe_s.p
+
+    @property
+    def rlwe(self) -> RlweParams:
+        return self.rgsw.rlwe
+
+    @cached_property
+    def lwe_z(self) -> LweParams:
+        """Big-Q LWE view of the RLWE dimension (`bootstrapping.rs:42-44`)."""
+        return LweParams(q=self.big_q, p=self.p, n=self.n)
+
+    @property
+    def p(self) -> int:
+        return self.rgsw.p
+
+    @property
+    def n(self) -> int:
+        return self.rgsw.n
+
+    @property
+    def big_q(self) -> int:
+        return self.rgsw.q
+
+    @property
+    def big_q_ks(self) -> int:
+        return self.lwe_s.q
+
+    @property
+    def q(self) -> int:
+        return 2 * self.n
+
+    @property
+    def q_by_8(self) -> int:
+        return self.q // 8
+
+    @property
+    def big_q_by_8(self) -> int:
+        return round(self.big_q / 8.0)
+
+    @property
+    def big_q_by_4(self) -> int:
+        return round(self.big_q / 4.0)
+
+    @cached_property
+    def ak_t(self) -> list[int]:
+        """Automorphism exponents [-g, g, g^2, .., g^w] as centered i64
+        (`bootstrapping.rs:86-90`)."""
+        two_n = self.q
+        g = AUTO_G % two_n
+
+        def center(v):
+            return v if v < two_n // 2 else v - two_n
+
+        ts = [center((-g) % two_n)]
+        acc = 1
+        for _ in range(self.w):
+            acc = acc * g % two_n
+            ts.append(center(acc))
+        return ts
+
+    @cached_property
+    def schedule_len(self) -> int:
+        """Static padded schedule length: n ext products + <= n/2 + 2 autos."""
+        return self.lwe_s.n + self.n // 2 + 2
+
+    @cached_property
+    def dlog_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """value -> l maps for +-g^l mod 2N, -1 where undefined
+        (`bootstrapping.rs:228-231`)."""
+        two_n = self.q
+        minus = np.full(two_n, -1, dtype=np.int64)
+        plus = np.full(two_n, -1, dtype=np.int64)
+        acc = 1
+        for l in range(self.n // 2):
+            plus[acc % two_n] = l
+            minus[(-acc) % two_n] = l
+            acc = acc * (AUTO_G % two_n) % two_n
+        return minus, plus
+
+
+class BootstrapKey(NamedTuple):
+    """Device-resident key material, all evaluation-basis / Montgomery."""
+
+    ksk_a: jnp.ndarray  # (d_ks, N, n) LWE key-switching key
+    ksk_b: jnp.ndarray  # (d_ks, N)
+    brk_a: jnp.ndarray  # (n, 2d, N) blind-rotation RGSW keys
+    brk_b: jnp.ndarray  # (n, 2d, N)
+    ak_a: jnp.ndarray  # (w+1, d, N) automorphism keys
+    ak_b: jnp.ndarray  # (w+1, d, N)
+    auto_src: jnp.ndarray  # (w+1, N) gather maps for X -> X^{t_v}
+    auto_sign: jnp.ndarray  # (w+1, N) bool
+
+
+def _monomial_poly(n: int, q: int, exps: np.ndarray) -> np.ndarray:
+    """Host build of the polynomials X^{e_j}: (len(exps), N) u64."""
+    out = np.zeros((len(exps), n), dtype=np.uint64)
+    for j, e in enumerate(np.asarray(exps, dtype=np.int64)):
+        i = int(e) % (2 * n)
+        if i < n:
+            out[j, i] = 1
+        else:
+            out[j, i - n] = q - 1
+    return out
+
+
+def key_gen(
+    params: BootstrapParams, z: np.ndarray, rng: np.random.Generator
+) -> BootstrapKey:
+    """ksk: Q_ks LWE N->n; brk_j = RGSW(X^{s_j}); ak_v for t in ak_t
+    (`bootstrapping.rs:121-146`)."""
+    s = lwe.sk_gen(params.lwe_s, rng)
+    ksk = lwe.ksk_gen(params.lwe_s, s, z, rng)
+    brk_pt = jnp.asarray(_monomial_poly(params.n, params.big_q, s))  # (n, N)
+    brk = rgsw.sk_encrypt_rgsw(params.rgsw, z, brk_pt, rng)  # (n, 2d, N)
+    brk_eval = rgsw.to_eval(params.rgsw, brk)
+    aks = [rlwe.ak_gen(params.rlwe, t, z, rng) for t in params.ak_t]
+    return _pack_key(params, ksk, brk_eval, [ak.ksk for ak in aks])
+
+
+def _pack_key(
+    params: BootstrapParams,
+    ksk: LweKeySwitchingKey,
+    brk_eval: RgswEval,
+    ak_ksks: list[rlwe.RlweKeySwitchingKey],
+) -> BootstrapKey:
+    ak_a = jnp.stack([k.a_eval for k in ak_ksks])
+    ak_b = jnp.stack([k.b_eval for k in ak_ksks])
+    srcs, signs = [], []
+    for t in params.ak_t:
+        src, sign = automorphism_map(params.n, t)
+        srcs.append(src)
+        signs.append(sign)
+    return BootstrapKey(
+        ksk_a=ksk.a,
+        ksk_b=ksk.b,
+        brk_a=brk_eval.a,
+        brk_b=brk_eval.b,
+        ak_a=ak_a,
+        ak_b=ak_b,
+        auto_src=jnp.asarray(np.stack(srcs)),
+        auto_sign=jnp.asarray(np.stack(signs)),
+    )
+
+
+# -- host schedule construction (public data) ---------------------------------
+
+
+def build_schedule(params: BootstrapParams, a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Transcribe Alg 3's control flow over the public mask a (mod 2N) into a
+    fixed-length (op, idx) array pair (`bootstrapping.rs:171-231`).
+
+    a: (..., n) host u64 array with values already switched to Z_2N.
+    Returns ops, idxs of shape (..., schedule_len) i32.
+    """
+    a = np.asarray(a, dtype=np.int64)
+    batch = a.shape[:-1]
+    if batch:
+        flat = a.reshape(-1, a.shape[-1])
+        pairs = [build_schedule(params, row) for row in flat]
+        ops = np.stack([p[0] for p in pairs]).reshape(*batch, -1)
+        idxs = np.stack([p[1] for p in pairs]).reshape(*batch, -1)
+        return ops, idxs
+
+    minus_map, plus_map = params.dlog_tables
+    half = params.n // 2
+    i_minus = [[] for _ in range(half)]
+    i_plus = [[] for _ in range(half)]
+    for j, aj in enumerate(a):
+        lm, lp = minus_map[aj], plus_map[aj]
+        if lm >= 0 and lp < 0:
+            i_minus[lm].append(j)
+        elif lp >= 0 and lm < 0:
+            i_plus[lp].append(j)
+        elif aj == 0:
+            pass
+        else:
+            raise AssertionError("value in both dlog tables")
+
+    steps: list[tuple[int, int]] = []
+
+    def walk(buckets):
+        v = 0
+        for l in range(len(buckets) - 1, 0, -1):
+            for j in buckets[l]:
+                steps.append((OP_EXT, j))
+            v += 1
+            if buckets[l - 1] or v == params.w or l == 1:
+                steps.append((OP_AUTO, v))
+                v = 0
+        return v
+
+    walk(i_minus)
+    for j in i_minus[0]:
+        steps.append((OP_EXT, j))
+    steps.append((OP_AUTO, 0))  # ak[0]: t = -g
+    walk(i_plus)
+    for j in i_plus[0]:
+        steps.append((OP_EXT, j))
+
+    L = params.schedule_len
+    assert len(steps) <= L, (len(steps), L)
+    ops = np.full(L, OP_NOOP, dtype=np.int32)
+    idxs = np.zeros(L, dtype=np.int32)
+    for k, (op, idx) in enumerate(steps):
+        ops[k] = op
+        idxs[k] = idx
+    return ops, idxs
+
+
+# -- device blind rotation -----------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0,))
+def blind_rotate_core(
+    params: BootstrapParams,
+    key: BootstrapKey,
+    ops: jnp.ndarray,
+    idxs: jnp.ndarray,
+    acc: RlweCiphertext,
+) -> RlweCiphertext:
+    """lax.scan over the padded schedule; each step gathers its key slice and
+    switches between {external product, automorphism+keyswitch, noop}."""
+    gp = params.rgsw
+    rp = params.rlwe
+    q = params.big_q
+
+    def ext_branch(carry, brk_a, brk_b, _src, _sign, _ak_a, _ak_b):
+        ct = RlweCiphertext(*carry)
+        out = rgsw.external_product(gp, RgswEval(brk_a, brk_b), ct)
+        return (out.a, out.b)
+
+    def auto_branch(carry, _brk_a, _brk_b, src, sign, ak_a, ak_b):
+        a, b = carry
+        a_g = a[..., src]
+        b_g = b[..., src]
+        a_auto = jnp.where(sign, neg_mod(a_g, q), a_g)
+        b_auto = jnp.where(sign, neg_mod(b_g, q), b_g)
+        out = rlwe.key_switch(
+            rp, rlwe.RlweKeySwitchingKey(ak_a, ak_b), RlweCiphertext(a_auto, b_auto)
+        )
+        return (out.a, out.b)
+
+    def noop_branch(carry, *_):
+        return carry
+
+    def step(carry, op_idx):
+        op, idx = op_idx
+        brk_a = key.brk_a[idx]
+        brk_b = key.brk_b[idx]
+        ak_a = key.ak_a[idx]
+        ak_b = key.ak_b[idx]
+        src = key.auto_src[idx]
+        sign = key.auto_sign[idx]
+        carry = jax.lax.switch(
+            op,
+            [ext_branch, auto_branch, noop_branch],
+            carry,
+            brk_a,
+            brk_b,
+            src,
+            sign,
+            ak_a,
+            ak_b,
+        )
+        return carry, None
+
+    (a, b), _ = jax.lax.scan(step, (acc.a, acc.b), (ops, idxs))
+    return RlweCiphertext(a, b)
+
+
+def blind_rotate(
+    params: BootstrapParams,
+    key: BootstrapKey,
+    f: jnp.ndarray,
+    ct: LweCiphertext,
+) -> RlweCiphertext:
+    """acc = (0, f o sigma_{-g} * X^{g*b}), then the core walk
+    (`bootstrapping.rs:157-168`). ct is a host-materialized Z_2N ciphertext."""
+    g = AUTO_G
+    f_prime = automorphism_zq(u64(f), -g, params.big_q)
+    b_g = (jnp.asarray(ct.b, dtype=jnp.int64) * g) % (2 * params.n)
+    f_prime = monomial_mul_zq(f_prime, b_g, params.big_q)
+    acc = RlweCiphertext(jnp.zeros_like(f_prime), f_prime)
+    ops, idxs = build_schedule(params, np.asarray(ct.a))
+    return blind_rotate_core(params, key, jnp.asarray(ops), jnp.asarray(idxs), acc)
+
+
+def bootstrap(
+    params: BootstrapParams, key: BootstrapKey, f: jnp.ndarray, ct: LweCiphertext
+) -> LweCiphertext:
+    """Figure 2 of 2022/198 (`bootstrapping.rs:148-155`)."""
+    ct = lwe.ct_mod_switch(ct, params.big_q, params.big_q_ks)
+    ct = lwe.key_switch(params.lwe_s, LweKeySwitchingKey(key.ksk_a, key.ksk_b), ct)
+    ct = lwe.ct_mod_switch_odd(ct, params.big_q_ks, params.q)
+    acc = blind_rotate(params, key, f, ct)
+    return rlwe.sample_extract(params.rlwe, acc, 0)
+
+
+# -- multi-key / threshold (`bootstrapping.rs:233-321`) ------------------------
+
+
+class BootstrapCrs(NamedTuple):
+    pk_a: jnp.ndarray  # (N,)
+    ksk_a: jnp.ndarray  # (d_ks, N, n)
+    ak_a: jnp.ndarray  # (w+1, d, N)
+
+
+class BootstrapKeyShare(NamedTuple):
+    ksk_b: jnp.ndarray  # (d_ks, N)
+    brk: rgsw.RgswCiphertext  # (n, 2d, N) pk-encrypted under merged pk
+    ak_b: jnp.ndarray  # (w+1, d, N)
+
+
+def crs_gen(params: BootstrapParams, rng: np.random.Generator) -> BootstrapCrs:
+    from ...utils.distributions import uniform_zq
+
+    pk_a = jnp.asarray(uniform_zq(params.big_q, rng, params.n))
+    d_ks = params.lwe_s.gadget.d
+    ksk_a = jnp.asarray(
+        uniform_zq(params.big_q_ks, rng, (d_ks, params.n, params.lwe_s.n))
+    )
+    d = params.rlwe.gadget.d
+    ak_a = jnp.asarray(
+        uniform_zq(params.big_q, rng, (len(params.ak_t), d, params.n))
+    )
+    return BootstrapCrs(pk_a, ksk_a, ak_a)
+
+
+def key_share_gen(
+    params: BootstrapParams,
+    crs: BootstrapCrs,
+    z: np.ndarray,
+    pk: RlweCiphertext,
+    rng: np.random.Generator,
+) -> BootstrapKeyShare:
+    """Each party: LWE ksk share under crs, brk under the MERGED pk, ak shares
+    (`bootstrapping.rs:271-293`)."""
+    s = lwe.sk_gen(params.lwe_s, rng)
+    ksk_b = lwe.ksk_share_gen(params.lwe_s, crs.ksk_a, s, z, rng)
+    brk_pt = jnp.asarray(_monomial_poly(params.n, params.big_q, s))
+    brk = rgsw.pk_encrypt_rgsw(params.rgsw, pk, brk_pt, rng)
+    ak_b = jnp.stack(
+        [
+            rlwe.ak_share_gen(params.rlwe, t, crs.ak_a[i], z, rng)
+            for i, t in enumerate(params.ak_t)
+        ]
+    )
+    return BootstrapKeyShare(ksk_b, brk, ak_b)
+
+
+def key_share_merge(
+    params: BootstrapParams,
+    crs: BootstrapCrs,
+    shares: list[BootstrapKeyShare],
+) -> BootstrapKey:
+    """ksk/ak shares sum; brk shares fold through RGSW internal products
+    (`bootstrapping.rs:295-321`)."""
+    ksk = lwe.ksk_share_merge(
+        params.lwe_s, crs.ksk_a, (s.ksk_b for s in shares)
+    )
+    merged = shares[0].brk
+    for s in shares[1:]:
+        merged = rgsw.internal_product(
+            params.rgsw, rgsw.to_eval(params.rgsw, merged), s.brk
+        )
+    brk_eval = rgsw.to_eval(params.rgsw, merged)
+    ak_ksks = []
+    for i, t in enumerate(params.ak_t):
+        ak = rlwe.ak_share_merge(
+            params.rlwe, t, crs.ak_a[i], (s.ak_b[i] for s in shares)
+        )
+        ak_ksks.append(ak.ksk)
+    return _pack_key(params, ksk, brk_eval, ak_ksks)

@@ -1,0 +1,118 @@
+"""FHEW boolean gate layer (MP21 Table 1; reference `scheme/fhew/src/fhew.rs`).
+
+A gate = linear combination of input ciphertexts + one LUT bootstrap:
+the LUT maps the 4 plaintext quadrants to +-Q/8, and the final +Q/8 offset
+lands the output on {0, Q/4} (`fhew.rs:31-39`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.modular import add_mod, neg_mod, u64
+from . import lwe
+from .bootstrapping import BootstrapKey, BootstrapParams, bootstrap
+from .lwe import LweCiphertext
+
+# Table 1 in 2020/086 (`fhew.rs:59-67`)
+GATE_TABLES = {
+    "and": [0, 0, 0, 1],
+    "nand": [1, 1, 1, 0],
+    "or": [0, 1, 1, 1],
+    "nor": [1, 0, 0, 0],
+    "xor": [0, 1, 1, 1],
+    "xnor": [1, 0, 0, 0],
+    "majority": [0, 0, 0, 1],
+}
+
+
+def encode_bool(params: BootstrapParams, m: bool) -> jnp.ndarray:
+    assert params.p == 4
+    return lwe.encode(params.lwe_z, jnp.asarray(int(m), dtype=jnp.uint64))
+
+
+def decode_bool(params: BootstrapParams, pt) -> jnp.ndarray:
+    """Decode to bool; values must land on {0, 1} of Z_4 (`fhew.rs:20-25`)."""
+    m = lwe.decode(params.lwe_z, pt)
+    return m == 1
+
+
+def lut_poly(params: BootstrapParams, table) -> jnp.ndarray:
+    """Negacyclic LUT: each table entry repeated q/8 times, mapped to -+Q/8
+    (`fhew.rs:31-36`)."""
+    mapped = np.where(
+        np.asarray(table, dtype=np.int64) == 0,
+        np.uint64(params.big_q - params.big_q_by_8),
+        np.uint64(params.big_q_by_8),
+    )
+    return jnp.asarray(np.repeat(mapped, params.q_by_8))
+
+
+def not_(params: BootstrapParams, ct: LweCiphertext) -> LweCiphertext:
+    """NOT is linear: (-a, -b + Q/4), no bootstrap (`fhew.rs:27-29`)."""
+    return LweCiphertext(
+        neg_mod(ct.a, params.big_q),
+        add_mod(neg_mod(ct.b, params.big_q), u64(params.big_q_by_4), params.big_q),
+    )
+
+
+def op(
+    params: BootstrapParams, key: BootstrapKey, table, ct: LweCiphertext
+) -> LweCiphertext:
+    f = lut_poly(params, table)
+    out = bootstrap(params, key, f, ct)
+    return LweCiphertext(out.a, add_mod(out.b, u64(params.big_q_by_8), params.big_q))
+
+
+def _lin2(params: BootstrapParams, name: str, ct0, ct1) -> LweCiphertext:
+    if name in ("and", "nand", "or", "nor"):
+        return lwe.add(params.lwe_z, ct0, ct1)
+    if name in ("xor", "xnor"):
+        return lwe.double(params.lwe_z, lwe.sub(params.lwe_z, ct0, ct1))
+    raise KeyError(name)
+
+
+def gate(
+    params: BootstrapParams,
+    key: BootstrapKey,
+    name: str,
+    ct0: LweCiphertext,
+    ct1: LweCiphertext,
+    ct2: LweCiphertext | None = None,
+) -> LweCiphertext:
+    """Evaluate a named 2- or 3-input gate with one bootstrap."""
+    if name == "majority":
+        assert ct2 is not None
+        lin = lwe.add(params.lwe_z, lwe.add(params.lwe_z, ct0, ct1), ct2)
+    else:
+        lin = _lin2(params, name, ct0, ct1)
+    return op(params, key, GATE_TABLES[name], lin)
+
+
+def and_(p, k, a, b):
+    return gate(p, k, "and", a, b)
+
+
+def nand(p, k, a, b):
+    return gate(p, k, "nand", a, b)
+
+
+def or_(p, k, a, b):
+    return gate(p, k, "or", a, b)
+
+
+def nor(p, k, a, b):
+    return gate(p, k, "nor", a, b)
+
+
+def xor(p, k, a, b):
+    return gate(p, k, "xor", a, b)
+
+
+def xnor(p, k, a, b):
+    return gate(p, k, "xnor", a, b)
+
+
+def majority(p, k, a, b, c):
+    return gate(p, k, "majority", a, b, c)

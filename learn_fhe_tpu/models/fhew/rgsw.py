@@ -1,0 +1,153 @@
+"""RGSW gadget encryptions and external/internal products
+(reference `scheme/fhew/src/rgsw.rs`).
+
+Layout: an RGSW ciphertext is 2d RLWE rows stacked on a leading axis:
+(a: (..., 2d, N), b: (..., 2d, N)) in coefficient basis. Rows 0..d carry the
+gadget powers added into the a-component, rows d..2d into b (`rgsw.rs:84-105`).
+
+For the hot path (blind rotation) keys are pre-converted once to evaluation
+basis + Montgomery domain (`RgswEval`); an external product then costs 2d
+forward NTTs (the decomposed accumulator limbs), a (2d,N)x(2d,N)->(N)
+Montgomery dot per output component, and 2 inverse NTTs -- the optimized
+2d+2 transform schedule SURVEY.md §3.1 derives, vs the reference's 12d.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.gadget import decompose_zq, power_up_zq, rounding_shr_zq
+from ...ops.modular import add_mod, mont_mul, sub_mod, sum_mod, to_montgomery, u64
+from ...ops.ntt import intt, ntt
+from .params import RgswParams
+from .rlwe import RlweCiphertext, decrypt as rlwe_decrypt, pk_encrypt, sk_encrypt
+
+
+class RgswCiphertext(NamedTuple):
+    a: jnp.ndarray  # (..., 2d, N) coefficient basis
+    b: jnp.ndarray  # (..., 2d, N)
+
+
+class RgswEval(NamedTuple):
+    """Evaluation-basis, Montgomery-domain residency for external products."""
+
+    a: jnp.ndarray  # (..., 2d, N)
+    b: jnp.ndarray  # (..., 2d, N)
+
+
+def add(params: RgswParams, ct0: RgswCiphertext, ct1: RgswCiphertext) -> RgswCiphertext:
+    return RgswCiphertext(add_mod(ct0.a, ct1.a, params.q), add_mod(ct0.b, ct1.b, params.q))
+
+
+def sub(params: RgswParams, ct0: RgswCiphertext, ct1: RgswCiphertext) -> RgswCiphertext:
+    return RgswCiphertext(sub_mod(ct0.a, ct1.a, params.q), sub_mod(ct0.b, ct1.b, params.q))
+
+
+def encode(params: RgswParams, m) -> jnp.ndarray:
+    """Raw embed of Z_p values into Z_q, no delta scaling (`rgsw.rs:54-59`)."""
+    return u64(m) % u64(params.q)
+
+
+def decode(params: RgswParams, pt) -> jnp.ndarray:
+    return u64(pt) % u64(params.p)
+
+
+def _encrypt(params: RgswParams, enc_zero, pt: jnp.ndarray) -> RgswCiphertext:
+    """2d zero-encryptions + gadget powers of pt into a (rows 0..d) and b
+    (rows d..2d) (`rgsw.rs:84-105`). pt: (..., N)."""
+    d = params.gadget.d
+    powers = power_up_zq(pt, params.gadget)  # (d, ..., N)
+    powers = jnp.moveaxis(powers, 0, -2)  # (..., d, N)
+    zeros: RlweCiphertext = enc_zero()  # (..., 2d, N) each
+    a = zeros.a.at[..., :d, :].set(add_mod(zeros.a[..., :d, :], powers, params.q))
+    b = zeros.b.at[..., d:, :].set(add_mod(zeros.b[..., d:, :], powers, params.q))
+    return RgswCiphertext(a, b)
+
+
+def sk_encrypt_rgsw(
+    params: RgswParams, sk: np.ndarray, pt: jnp.ndarray, rng: np.random.Generator
+) -> RgswCiphertext:
+    d = params.gadget.d
+    shape = (*pt.shape[:-1], 2 * d, params.n)
+
+    def enc_zero():
+        return sk_encrypt(params.rlwe, sk, jnp.zeros(shape, dtype=jnp.uint64), rng)
+
+    return _encrypt(params, enc_zero, pt)
+
+
+def pk_encrypt_rgsw(
+    params: RgswParams, pk: RlweCiphertext, pt: jnp.ndarray, rng: np.random.Generator
+) -> RgswCiphertext:
+    d = params.gadget.d
+    shape = (*pt.shape[:-1], 2 * d, params.n)
+
+    def enc_zero():
+        return pk_encrypt(params.rlwe, pk, jnp.zeros(shape, dtype=jnp.uint64), rng)
+
+    return _encrypt(params, enc_zero, pt)
+
+
+def decrypt_rgsw(params: RgswParams, sk: np.ndarray, ct: RgswCiphertext) -> jnp.ndarray:
+    """Decrypt the last row, then rounding-shr by the top gadget base
+    (`rgsw.rs:107-114`)."""
+    last = RlweCiphertext(ct.a[..., -1, :], ct.b[..., -1, :])
+    pt = rlwe_decrypt(params.rlwe, sk, last)
+    # rounding_shr by the top gadget base (`decompose.rs:92-95`)
+    bits = params.gadget.log_bases[-1]
+    half = ((1 << bits) >> 1) % params.q
+    rounded = add_mod(pt, u64(half), params.q)
+    return rounded >> np.uint64(bits)
+
+
+def to_eval(params: RgswParams, ct: RgswCiphertext) -> RgswEval:
+    """One-time NTT + Montgomery conversion for key residency."""
+    zq = params.plan.zq
+    return RgswEval(
+        to_montgomery(ntt(ct.a, params.plan), zq),
+        to_montgomery(ntt(ct.b, params.plan), zq),
+    )
+
+
+def decompose_rlwe(params: RgswParams, ct: RlweCiphertext) -> jnp.ndarray:
+    """Stacked signed digits of (a, b): shape (..., 2d, N) (`rgsw.rs:122-124`)."""
+    la = decompose_zq(ct.a, params.gadget)  # (d, ..., N)
+    lb = decompose_zq(ct.b, params.gadget)
+    limbs = jnp.concatenate([la, lb], axis=0)  # (2d, ..., N)
+    return jnp.moveaxis(limbs, 0, -2)  # (..., 2d, N)
+
+
+def external_product(
+    params: RgswParams, key: RgswEval, ct: RlweCiphertext
+) -> RlweCiphertext:
+    """RGSW x RLWE -> RLWE (`rgsw.rs:116-128`), evaluation-basis schedule."""
+    zq = params.plan.zq
+    limbs = decompose_rlwe(params, ct)  # (..., 2d, N)
+    limbs_eval = ntt(limbs, params.plan)
+    a_eval = sum_mod(mont_mul(key.a, limbs_eval, zq), params.q, axis=-2)
+    b_eval = sum_mod(mont_mul(key.b, limbs_eval, zq), params.q, axis=-2)
+    return RlweCiphertext(intt(a_eval, params.plan), intt(b_eval, params.plan))
+
+
+def internal_product(
+    params: RgswParams, key: RgswEval, ct: RgswCiphertext
+) -> RgswCiphertext:
+    """RGSW x RGSW -> RGSW, used to merge multi-key brk shares
+    (`rgsw.rs:130-150`): every row of ct goes through an external product
+    against key."""
+    zq = params.plan.zq
+    limbs = jnp.concatenate(
+        [decompose_zq(ct.a, params.gadget), decompose_zq(ct.b, params.gadget)],
+        axis=0,
+    )  # (2d_dec, ..., 2d_rows, N)
+    limbs_eval = ntt(limbs, params.plan)
+    # key rows (.., 2d, N): the 2d axis is the contraction (decomposition)
+    # axis; move it leading and broadcast over ct's 2d_rows axis
+    key_a = jnp.moveaxis(key.a, -2, 0)[..., None, :]
+    key_b = jnp.moveaxis(key.b, -2, 0)[..., None, :]
+    a_eval = sum_mod(mont_mul(key_a, limbs_eval, zq), params.q, axis=0)
+    b_eval = sum_mod(mont_mul(key_b, limbs_eval, zq), params.q, axis=0)
+    return RgswCiphertext(intt(a_eval, params.plan), intt(b_eval, params.plan))

@@ -219,6 +219,59 @@ def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, jnp.floor(x + half), jnp.ceil(x - half))
 
 
+def is_pow2(q: int) -> bool:
+    return q & (q - 1) == 0
+
+
+def generic_mul_mod(a, b, q: int) -> jnp.ndarray:
+    """a * b mod q for any q < 2^63: mask for powers of two, REDC for odd."""
+    if is_pow2(q):
+        return (u64(a) * u64(b)) & u64(q - 1)
+    if q % 2 == 1:
+        return mul_mod(a, b, ZqParams(q))
+    raise NotImplementedError("even non-power-of-two modulus")
+
+
+def sum_mod(x: jnp.ndarray, q: int, axis: int = 0) -> jnp.ndarray:
+    """Sum of already-reduced values mod q along an axis.
+
+    Powers of two wrap for free; odd moduli accumulate raw u64 when the term
+    count can't overflow, else fold with a log-depth modular tree.
+    """
+    if is_pow2(q):
+        return jnp.sum(u64(x), axis=axis) & u64(q - 1)
+    k = x.shape[axis]
+    if k * (q - 1) < (1 << 64):
+        return barrett_reduce_u64(jnp.sum(u64(x), axis=axis), q)
+    x = jnp.moveaxis(u64(x), axis, 0)
+    while x.shape[0] > 1:
+        m = x.shape[0]
+        if m % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+            m += 1
+        x = add_mod(x[: m // 2], x[m // 2 :], q)
+    return x[0]
+
+
+def modular_dot(x: jnp.ndarray, mat: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Contraction sum_k x[..., k] * mat[k] (mat: (K,) or (K, M)) mod q.
+
+    Power-of-two moduli accumulate with wrapping u64 multiplies + sum (mod
+    2^64 then mask is exact); odd moduli reduce each product then modular-sum.
+    NOTE: no einsum/dot_general here -- XLA's x64 rewriter cannot lower u64
+    dots on TPU, but broadcast-mul + reduce lowers fine.
+    """
+    if is_pow2(q):
+        if mat.ndim == 1:
+            return jnp.sum(u64(x) * u64(mat), axis=-1) & u64(q - 1)
+        return jnp.sum(u64(x)[..., :, None] * u64(mat), axis=-2) & u64(q - 1)
+    if mat.ndim == 1:
+        terms = generic_mul_mod(x, mat, q)  # (..., K)
+        return sum_mod(terms, q, axis=-1)
+    terms = generic_mul_mod(x[..., :, None], mat, q)  # (..., K, M)
+    return sum_mod(terms, q, axis=-2)
+
+
 def barrett_reduce_u64(a, q: int) -> jnp.ndarray:
     """Reduce arbitrary u64 values into [0, q) without division.
 
