@@ -1,0 +1,353 @@
+"""CKKS (RNS variant, eprint 2018/1073) -- reference `scheme/ckks/src/ckks.rs`.
+
+Ciphertexts are (b, a) pairs of stacked-limb RNS polynomials (L, N) u64; the
+level (active prime basis) travels as static metadata so every jitted kernel
+is specialized per level, and the limb axis is the mesh shard axis at scale.
+
+Hybrid key switching (`ckks.rs:154-162,284-293`): ksk = enc_{QP}(P * sk'),
+key_switch extends the target mask to base QP, multiplies, and rescales the
+P-part away.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from itertools import islice
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.modular import u64
+from ...ops.poly import automorphism_map
+from ...ops.rns import (
+    RnsPlan,
+    add_mod_v,
+    extend_bases,
+    mul_shoup_v,
+    neg_mod_v,
+    rescale_k,
+    rns_add,
+    rns_from_i64,
+    rns_mul,
+    rns_neg,
+    rns_plan,
+    rns_sub,
+    sub_mod_v,
+)
+from ...utils.crt import bigints_to_rns, rns_to_bigints
+from ...utils.dd import DDC, dd_scalar_from_int
+from ...utils.distributions import dg, uniform_zq, zo
+from ...utils.primes import two_adic_primes
+from .sfft import sfft, sifft
+
+
+@dataclass(frozen=True)
+class CkksParams:
+    """L q-primes + L auxiliary p-primes from one descending stream; the
+    scale is the last q prime (`ckks.rs:20-35`)."""
+
+    log_n: int
+    log_qi: int
+    big_l: int
+
+    def __post_init__(self):
+        assert self.log_n >= 1 and self.big_l > 1
+
+    @cached_property
+    def qs(self) -> tuple[int, ...]:
+        return tuple(islice(two_adic_primes(self.log_qi, self.log_n + 1), self.big_l))
+
+    @cached_property
+    def ps(self) -> tuple[int, ...]:
+        it = two_adic_primes(self.log_qi, self.log_n + 1)
+        return tuple(islice(it, self.big_l, 2 * self.big_l))
+
+    @property
+    def qps(self) -> tuple[int, ...]:
+        return self.qs + self.ps
+
+    @property
+    def n(self) -> int:
+        return 1 << self.log_n
+
+    @property
+    def l(self) -> int:
+        """Slot count N/2 (`ckks.rs:45-47`)."""
+        return 1 << (self.log_n - 1)
+
+    @property
+    def scale(self) -> int:
+        return self.qs[-1]
+
+    @cached_property
+    def big_p(self) -> int:
+        out = 1
+        for p in self.ps:
+            out *= p
+        return out
+
+    def pow5(self, j: int) -> int:
+        return pow(5, j, 2 * self.n)
+
+    def plan(self, qs: tuple[int, ...]) -> RnsPlan:
+        return rns_plan(qs, self.n)
+
+
+class CkksCiphertext(NamedTuple):
+    b: jnp.ndarray  # (L, N)
+    a: jnp.ndarray  # (L, N)
+    qs: tuple  # static level metadata
+
+
+class CkksKeySwitchingKey(NamedTuple):
+    """Ciphertext over the full QP basis encrypting P * sk'."""
+
+    b: jnp.ndarray  # (2L, N)
+    a: jnp.ndarray
+    qs: tuple
+
+
+class CkksRotKey(NamedTuple):
+    j: int
+    ksk: CkksKeySwitchingKey
+
+
+def to_level(ct: CkksCiphertext, qs: tuple) -> CkksCiphertext:
+    """Keep only the limbs in qs (the reference's limb-intersection semantics,
+    `rns.rs:148-158`): dropping RNS limbs reduces mod a smaller Q at the same
+    scale."""
+    if ct.qs == qs:
+        return ct
+    idx = [ct.qs.index(q) for q in qs]
+    return CkksCiphertext(ct.b[idx, :], ct.a[idx, :], qs)
+
+
+def _align(ct0: CkksCiphertext, ct1: CkksCiphertext):
+    qs = tuple(q for q in ct0.qs if q in ct1.qs)
+    return to_level(ct0, qs), to_level(ct1, qs), qs
+
+
+def add(ct0: CkksCiphertext, ct1: CkksCiphertext) -> CkksCiphertext:
+    ct0, ct1, qs = _align(ct0, ct1)
+    plan = rns_plan(qs, ct0.b.shape[-1])
+    return CkksCiphertext(
+        rns_add(ct0.b, ct1.b, plan), rns_add(ct0.a, ct1.a, plan), qs
+    )
+
+
+def sub(ct0: CkksCiphertext, ct1: CkksCiphertext) -> CkksCiphertext:
+    ct0, ct1, qs = _align(ct0, ct1)
+    plan = rns_plan(qs, ct0.b.shape[-1])
+    return CkksCiphertext(
+        rns_sub(ct0.b, ct1.b, plan), rns_sub(ct0.a, ct1.a, plan), qs
+    )
+
+
+# -- keygen -------------------------------------------------------------------
+
+
+def sk_gen(params: CkksParams, rng: np.random.Generator) -> np.ndarray:
+    """sk ~ zo(0.5) (`ckks.rs:139-141`)."""
+    return zo(0.5, rng, params.n)
+
+
+def pk_gen(params: CkksParams, sk: np.ndarray, rng: np.random.Generator) -> CkksCiphertext:
+    zero = jnp.zeros((len(params.qs), params.n), dtype=jnp.uint64)
+    return sk_encrypt(params, sk, zero, params.qs, rng)
+
+
+def _sk_square(sk: np.ndarray) -> np.ndarray:
+    """Negacyclic sk^2 over the integers (`ckks.rs:78-80`)."""
+    n = len(sk)
+    full = np.convolve(sk.astype(np.int64), sk.astype(np.int64))  # length 2n-1
+    lo = full[:n].copy()
+    hi = np.zeros(n, dtype=np.int64)
+    hi[: 2 * n - 1 - n] = full[n:]
+    return lo - hi
+
+
+def _automorphism_i64(sk: np.ndarray, t: int) -> np.ndarray:
+    n = len(sk)
+    src, sign = automorphism_map(n, t)
+    out = sk[src].copy()
+    out[sign] = -out[sign]
+    return out
+
+
+def ksk_gen(
+    params: CkksParams, sk: np.ndarray, sk_prime: np.ndarray, rng: np.random.Generator
+) -> CkksKeySwitchingKey:
+    """ksk = enc_{QP}(P * sk') (`ckks.rs:154-162`)."""
+    qps = params.qps
+    plan = params.plan(qps)
+    pt = rns_from_i64(jnp.asarray(sk_prime), plan)  # (2L, N)
+    p_mod = np.array([params.big_p % q for q in qps], dtype=np.uint64)[:, None]
+    from ...ops.modular import shoup_precompute
+
+    p_shoup = np.stack(
+        [shoup_precompute(params.big_p % q, q) for q in qps]
+    ).reshape(-1, 1)
+    pt = mul_shoup_v(pt, jnp.asarray(p_mod), jnp.asarray(p_shoup), jnp.asarray(plan.q_arr))
+    ct = sk_encrypt(params, sk, pt, qps, rng)
+    return CkksKeySwitchingKey(ct.b, ct.a, qps)
+
+
+def rlk_gen(params: CkksParams, sk: np.ndarray, rng) -> CkksKeySwitchingKey:
+    return ksk_gen(params, sk, _sk_square(sk), rng)
+
+
+def cjk_gen(params: CkksParams, sk: np.ndarray, rng) -> CkksKeySwitchingKey:
+    return ksk_gen(params, sk, _automorphism_i64(sk, -1), rng)
+
+
+def rtk_gen(params: CkksParams, sk: np.ndarray, j: int, rng) -> CkksRotKey:
+    assert j != 0
+    j = j % params.l
+    sk_rot = _automorphism_i64(sk, params.pow5(j))
+    return CkksRotKey(j, ksk_gen(params, sk, sk_rot, rng))
+
+
+# -- encode / decode (host, double-double; `ckks.rs:186-213`) ------------------
+
+
+def encode(params: CkksParams, m, qs: tuple | None = None) -> jnp.ndarray:
+    """m: (l,) complex (np.complex128 or DDC) -> RNS plaintext (L, N)."""
+    qs = params.qs if qs is None else qs
+    z = m if isinstance(m, DDC) else DDC.from_complex(m)
+    assert len(z) == params.l
+    z = sifft(z)
+    sh, sl = dd_scalar_from_int(params.scale)
+    z = z.mul_dd_scalar(sh, sl)
+    re, im = z.round_to_ints()
+    return jnp.asarray(bigints_to_rns(re + im, qs))
+
+
+def decode(params: CkksParams, pt: jnp.ndarray, qs: tuple) -> np.ndarray:
+    """RNS plaintext -> (l,) complex128 slots."""
+    vals = rns_to_bigints(np.asarray(pt), qs)
+    l = params.l
+    z = DDC.from_ints(vals[:l], vals[l:])
+    sh, sl = dd_scalar_from_int(params.scale)
+    z = z.div_dd_scalar(sh, sl)
+    return sfft(z).to_complex128()
+
+
+# -- encrypt / decrypt ---------------------------------------------------------
+
+
+def sk_encrypt(
+    params: CkksParams,
+    sk: np.ndarray,
+    pt: jnp.ndarray,
+    qs: tuple,
+    rng: np.random.Generator,
+) -> CkksCiphertext:
+    """b = -(a*sk) + e + pt (`ckks.rs:215-225`)."""
+    plan = params.plan(qs)
+    a = jnp.asarray(
+        np.stack([uniform_zq(q, rng, params.n) for q in qs])
+    )
+    e = rns_from_i64(jnp.asarray(dg(3.2, 6, rng, params.n)), plan)
+    sk_rns = rns_from_i64(jnp.asarray(sk), plan)
+    b = rns_add(rns_add(rns_neg(rns_mul(a, sk_rns, plan), plan), e, plan), pt, plan)
+    return CkksCiphertext(b, a, qs)
+
+
+def pk_encrypt(
+    params: CkksParams, pk: CkksCiphertext, pt: jnp.ndarray, rng: np.random.Generator
+) -> CkksCiphertext:
+    """(b, a) = (pk.b*u + e1 + pt, pk.a*u + e0) (`ckks.rs:227-239`)."""
+    qs = pk.qs
+    plan = params.plan(qs)
+    u = rns_from_i64(jnp.asarray(zo(0.5, rng, params.n)), plan)
+    e0 = rns_from_i64(jnp.asarray(dg(3.2, 6, rng, params.n)), plan)
+    e1 = rns_from_i64(jnp.asarray(dg(3.2, 6, rng, params.n)), plan)
+    a = rns_add(rns_mul(pk.a, u, plan), e0, plan)
+    b = rns_add(rns_add(rns_mul(pk.b, u, plan), e1, plan), pt, plan)
+    return CkksCiphertext(b, a, qs)
+
+
+def decrypt(params: CkksParams, sk: np.ndarray, ct: CkksCiphertext) -> jnp.ndarray:
+    """pt = b + a*sk (`ckks.rs:241-248`)."""
+    plan = params.plan(ct.qs)
+    sk_rns = rns_from_i64(jnp.asarray(sk), plan)
+    return rns_add(ct.b, rns_mul(ct.a, sk_rns, plan), plan)
+
+
+# -- homomorphic ops ------------------------------------------------------------
+
+
+def rescale_ct(ct: CkksCiphertext, k: int = 1) -> CkksCiphertext:
+    return CkksCiphertext(
+        rescale_k(ct.b, ct.qs, k), rescale_k(ct.a, ct.qs, k), ct.qs[:-k]
+    )
+
+
+def mul_constant(params: CkksParams, m, ct: CkksCiphertext) -> CkksCiphertext:
+    """encode(m) * ct, then rescale (`ckks.rs:250-253`)."""
+    pt = encode(params, m, ct.qs)
+    plan = params.plan(ct.qs)
+    out = CkksCiphertext(rns_mul(pt, ct.b, plan), rns_mul(pt, ct.a, plan), ct.qs)
+    return rescale_ct(out)
+
+
+def mul(
+    params: CkksParams, rlk: CkksKeySwitchingKey, ct0: CkksCiphertext, ct1: CkksCiphertext
+) -> CkksCiphertext:
+    """Tensor + relinearize + rescale (`ckks.rs:255-267`)."""
+    ct0, ct1, qs = _align(ct0, ct1)
+    plan = params.plan(qs)
+    d0 = rns_mul(ct0.b, ct1.b, plan)
+    d1 = rns_add(rns_mul(ct0.b, ct1.a, plan), rns_mul(ct0.a, ct1.b, plan), plan)
+    d2 = rns_mul(ct0.a, ct1.a, plan)
+    relin = key_switch(params, rlk, CkksCiphertext(jnp.zeros_like(d2), d2, qs))
+    out = CkksCiphertext(
+        rns_add(d0, relin.b, plan), rns_add(d1, relin.a, plan), qs
+    )
+    return rescale_ct(out)
+
+
+def _automorphism_rns(x: jnp.ndarray, t: int, qs: tuple) -> jnp.ndarray:
+    n = x.shape[-1]
+    src, sign = automorphism_map(n, t)
+    g = u64(x)[..., src]
+    q_arr = jnp.asarray(np.array(qs, dtype=np.uint64)[:, None])
+    return jnp.where(jnp.asarray(sign), neg_mod_v(g, q_arr), g)
+
+
+def conjugate(
+    params: CkksParams, cjk: CkksKeySwitchingKey, ct: CkksCiphertext
+) -> CkksCiphertext:
+    ct_conj = CkksCiphertext(
+        _automorphism_rns(ct.b, -1, ct.qs), _automorphism_rns(ct.a, -1, ct.qs), ct.qs
+    )
+    return key_switch(params, cjk, ct_conj)
+
+
+def rotate(params: CkksParams, rtk: CkksRotKey, ct: CkksCiphertext) -> CkksCiphertext:
+    t = params.pow5(rtk.j)
+    ct_rot = CkksCiphertext(
+        _automorphism_rns(ct.b, t, ct.qs), _automorphism_rns(ct.a, t, ct.qs), ct.qs
+    )
+    return key_switch(params, rtk.ksk, ct_rot)
+
+
+def key_switch(
+    params: CkksParams, ksk: CkksKeySwitchingKey, ct: CkksCiphertext
+) -> CkksCiphertext:
+    """extend a to QP, multiply by ksk, rescale P away (`ckks.rs:284-293`)."""
+    qs = ct.qs
+    ps = params.ps
+    qps = qs + ps
+    plan = params.plan(qps)
+    a_ext = jnp.concatenate([ct.a, extend_bases(ct.a, qs, ps)], axis=-2)
+    # limb-intersection: select matching ksk limbs (qs is a prefix of full qs)
+    idx = [params.qps.index(q) for q in qps]
+    ksk_b = ksk.b[idx, :]
+    ksk_a = ksk.a[idx, :]
+    b = rescale_k(rns_mul(ksk_b, a_ext, plan), qps, len(ps))
+    a = rescale_k(rns_mul(ksk_a, a_ext, plan), qps, len(ps))
+    plan_q = params.plan(qs)
+    return CkksCiphertext(rns_add(b, ct.b, plan_q), a, qs)

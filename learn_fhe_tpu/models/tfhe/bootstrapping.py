@@ -1,0 +1,140 @@
+"""TFHE programmable bootstrapping: CMux-chain blind rotation
+(reference `scheme/tfhe/src/bootstrapping.rs`).
+
+    acc = TGLWE(v) * X^{-b~};  for each LWE key bit i:
+        acc = cmux(brk_i, acc, acc * X^{a~_i})
+    then sample_extract(0) and key-switch back to the LWE key.
+
+TPU-first control flow: unlike FHEW's LMKCDEY walk there is no data-dependent
+branching -- the chain is a clean `lax.scan` over the n stacked TGGSW keys
+with traced monomial rotations (dynamic `jnp.roll`), fully jit-compatible and
+vmap-able over a ciphertext batch axis. Key material lives in the 2-prime NTT
+evaluation domain permanently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.modular import u64
+from . import tggsw, tglwe, tlwe
+from .params import TggswParams, TglweParams, TlweParams
+from .tggsw import TggswEval
+from .tglwe import TglweCiphertext
+from .tlwe import TlweCiphertext, TlweKeySwitchingKey
+
+
+@dataclass(frozen=True)
+class BootstrapParams:
+    """Pairs a TLWE (for key switch) with a TGGSW (for blind rotation) of
+    equal plaintext modulus (`bootstrapping.rs:21-38`)."""
+
+    tlwe: TlweParams
+    tggsw: TggswParams
+
+    def __post_init__(self):
+        assert self.tlwe.p == self.tggsw.p
+
+    @property
+    def tglwe(self) -> TglweParams:
+        return self.tggsw.tglwe
+
+    @property
+    def big_n(self) -> int:
+        return self.tggsw.big_n
+
+    @cached_property
+    def tlwe_extracted(self) -> TlweParams:
+        """TLWE view of the extracted big_n*k-dimensional ciphertext."""
+        return self.tglwe.tlwe_view(self.tlwe.log_b, self.tlwe.d)
+
+
+class BootstrapKey(NamedTuple):
+    brk: TggswEval  # rows stacked over the n LWE key bits: (n, R, ...)
+    ksk: TlweKeySwitchingKey
+
+
+def key_gen(
+    params: BootstrapParams, z: np.ndarray, rng: np.random.Generator
+) -> BootstrapKey:
+    """brk_i = TGGSW(z_i as constant poly) under a fresh TGLWE key s;
+    ksk from the flattened s back to z (`bootstrapping.rs:59-76`)."""
+    s = tglwe.sk_gen(params.tglwe, rng)
+    const = np.zeros((params.tlwe.n, params.big_n), dtype=np.uint64)
+    const[:, 0] = np.asarray(z).astype(np.uint64)
+    brk_coeff = tggsw.sk_encrypt(params.tggsw, s, jnp.asarray(const), rng)
+    brk = tggsw.to_eval(params.tggsw, brk_coeff)
+    ksk = tlwe.ksk_gen(params.tlwe, z, s.reshape(-1), rng)
+    return BootstrapKey(brk, ksk)
+
+
+def mod_switch_2n(ct: TlweCiphertext, big_n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Round (a, b) into Z_2N as signed exponents (`bootstrapping.rs:99-104`)."""
+    bits = 64 - (2 * big_n).bit_length() + 1
+    half = np.uint64((1 << bits) >> 1)
+    a = ((u64(ct.a) + half) >> np.uint64(bits)).astype(jnp.int64)
+    b = ((u64(ct.b) + half) >> np.uint64(bits)).astype(jnp.int64)
+    return a, b
+
+
+@partial(jax.jit, static_argnums=(0,))
+def blind_rotate(
+    params: BootstrapParams,
+    key: BootstrapKey,
+    v_encoded: jnp.ndarray,
+    a2n: jnp.ndarray,
+    b2n: jnp.ndarray,
+) -> TglweCiphertext:
+    """CMux chain (`bootstrapping.rs:84-96`). v_encoded: (N,) torus LUT."""
+    k = params.tglwe.k
+
+    acc0 = TglweCiphertext(
+        jnp.zeros((k, params.big_n), dtype=jnp.uint64),
+        jnp.broadcast_to(v_encoded, (params.big_n,)),
+    )
+    acc0 = tglwe.rotate(acc0, -b2n)
+
+    def step(carry, inp):
+        acc = TglweCiphertext(*carry)
+        a_i, brk_a1, brk_a2, brk_b1, brk_b2 = inp
+        rotated = tglwe.rotate(acc, a_i)
+        key_i = TggswEval(brk_a1, brk_a2, brk_b1, brk_b2)
+        out = tggsw.cmux(params.tggsw, key_i, acc, rotated)
+        return (out.a, out.b), None
+
+    xs = (a2n, key.brk.a1, key.brk.a2, key.brk.b1, key.brk.b2)
+    (a, b), _ = jax.lax.scan(step, (acc0.a, acc0.b), xs)
+    return TglweCiphertext(a, b)
+
+
+def bootstrap(
+    params: BootstrapParams, key: BootstrapKey, v: jnp.ndarray, ct: TlweCiphertext
+) -> TlweCiphertext:
+    """Programmable bootstrap: LUT v (N values mod p) -> fresh ciphertext of
+    v[round(phase)] (`bootstrapping.rs:78-82`)."""
+    v_enc = tglwe.encode(params.tglwe, v)
+    a2n, b2n = mod_switch_2n(ct, params.big_n)
+    acc = blind_rotate(params, key, v_enc, a2n, b2n)
+    ext = tglwe.sample_extract(params.tglwe, acc, 0)
+    return tlwe.key_switch(params.tlwe, key.ksk, ext)
+
+
+def lut_table(log_p: int, big_n: int, f) -> np.ndarray:
+    """Negacyclic LUT with half-slot offset (`bootstrapping.rs:118-128` test
+    helper, promoted to a library feature): table[v] = f(v) laid out so slot 0
+    is centered, with the wrap-around encoded as -f(0) at the tail."""
+    p = 1 << log_p
+    m = big_n >> log_p
+    vals = [int(f(v)) % p for v in range(p)]
+    out = []
+    out += [vals[0]] * (m // 2)
+    for t in vals[1:]:
+        out += [t] * m
+    out += [(-vals[0]) % p] * (m // 2)
+    return np.array(out, dtype=np.uint64)

@@ -1,0 +1,328 @@
+"""RNS (CRT-limb) polynomial arithmetic with a stacked limb axis.
+
+The reference's `RnsRq` (`util/src/ring/rns.rs`) is a Vec of per-prime rings;
+here an RNS polynomial is ONE array of shape (..., L, N) u64 with the limb
+axis second-to-last -- the natural TPU shard axis (SURVEY.md §2.5): every
+per-limb op is embarrassingly parallel over it, and the two cross-limb
+reductions (`extend_bases`, `rescale`) become axis contractions / collectives.
+
+Per-limb constants (twiddles, Montgomery factors, CRT hats) are stacked into
+(L, ...) arrays and broadcast, so one fused kernel serves all limbs. The
+approximate base extension reproduces `rns.rs:331-345` exactly: the overflow
+count u = round(sum_i v~_i / q_i) is accumulated in f64, and the correction
+subtracts (u * Q) mod p via a precomputed table indexed by u.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.primes import mod_inverse
+from .modular import MASK32, mulhi64, u64
+from .ntt import bit_reverse_indices, ntt_plan
+
+
+# ---------------------------------------------------------------------------
+# Stacked-limb modular primitives (q is an (L, 1)-broadcastable u64 array)
+# ---------------------------------------------------------------------------
+
+
+def add_mod_v(a, b, q):
+    s = u64(a) + u64(b)
+    return jnp.where(s >= q, s - q, s)
+
+
+def sub_mod_v(a, b, q):
+    a = u64(a)
+    b = u64(b)
+    d = a - b
+    return jnp.where(a >= b, d, d + q)
+
+
+def neg_mod_v(a, q):
+    a = u64(a)
+    return jnp.where(a == 0, a, q - a)
+
+
+def mul_shoup_v(a, w, w_shoup, q):
+    a = u64(a)
+    hi = mulhi64(a, u64(w_shoup))
+    r = a * u64(w) - hi * q
+    return jnp.where(r >= q, r - q, r)
+
+
+def _redc_v(t_hi, t_lo, q, neg_q_inv):
+    m = t_lo * neg_q_inv
+    mq_hi = mulhi64(m, q)
+    carry = (t_lo != 0).astype(jnp.uint64)
+    t = t_hi + mq_hi + carry
+    return jnp.where(t >= q, t - q, t)
+
+
+def mul_mod_v(a, b, q, neg_q_inv, r2):
+    """General product with per-limb Montgomery constants."""
+    a = u64(a)
+    b = u64(b)
+    t = _redc_v(mulhi64(a, b), a * b, q, neg_q_inv)
+    return _redc_v(mulhi64(t, r2), t * r2, q, neg_q_inv)
+
+
+# ---------------------------------------------------------------------------
+# Plan: stacked NTT + CRT tables for a prime basis
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, eq=False)
+class RnsPlan:
+    qs: tuple[int, ...]
+    n: int
+    log_n: int
+    # stacked NTT tables, shape (L, n)
+    psi_br: np.ndarray
+    psi_br_shoup: np.ndarray
+    psi_inv_br: np.ndarray
+    psi_inv_br_shoup: np.ndarray
+    n_inv: np.ndarray  # (L, 1)
+    n_inv_shoup: np.ndarray
+    # Montgomery constants, shape (L, 1)
+    q_arr: np.ndarray
+    neg_q_inv: np.ndarray
+    r2: np.ndarray
+
+    @property
+    def big_q(self) -> int:
+        out = 1
+        for q in self.qs:
+            out *= q
+        return out
+
+
+@lru_cache(maxsize=None)
+def rns_plan(qs: tuple[int, ...], n: int) -> RnsPlan:
+    plans = [ntt_plan(q, n) for q in qs]
+    stack = lambda attr: np.stack([getattr(p, attr) for p in plans])
+    col = lambda vals: np.array(vals, dtype=np.uint64)[:, None]
+    return RnsPlan(
+        qs=qs,
+        n=n,
+        log_n=n.bit_length() - 1,
+        psi_br=stack("psi_br"),
+        psi_br_shoup=stack("psi_br_shoup"),
+        psi_inv_br=stack("psi_inv_br"),
+        psi_inv_br_shoup=stack("psi_inv_br_shoup"),
+        n_inv=col([p.n_inv for p in plans]),
+        n_inv_shoup=col([p.n_inv_shoup for p in plans]),
+        q_arr=col([q for q in qs]),
+        neg_q_inv=col([p.zq.neg_q_inv for p in plans]),
+        r2=col([p.zq.r2 for p in plans]),
+    )
+
+
+def rns_ntt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
+    """Forward NTT over the trailing axis, batched over (..., L)."""
+    n = plan.n
+    if n == 1:
+        return u64(a)
+    batch = a.shape[:-1]
+    out = u64(a)
+    q = jnp.asarray(plan.q_arr)  # (L, 1)
+    for layer in range(plan.log_n):
+        m = 1 << layer
+        half = n >> (layer + 1)
+        x = out.reshape(*batch, m, 2, half)
+        uu, vv = x[..., 0, :], x[..., 1, :]
+        t = jnp.asarray(plan.psi_br[:, m : 2 * m])[:, :, None]
+        ts = jnp.asarray(plan.psi_br_shoup[:, m : 2 * m])[:, :, None]
+        qq = q[:, None, :]
+        tv = mul_shoup_v(vv, t, ts, qq)
+        out = jnp.stack(
+            [add_mod_v(uu, tv, qq), sub_mod_v(uu, tv, qq)], axis=-2
+        ).reshape(*batch, n)
+    return out
+
+
+def rns_intt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
+    n = plan.n
+    if n == 1:
+        return u64(a)
+    batch = a.shape[:-1]
+    out = u64(a)
+    q = jnp.asarray(plan.q_arr)
+    for layer in reversed(range(plan.log_n)):
+        m = 1 << layer
+        half = n >> (layer + 1)
+        x = out.reshape(*batch, m, 2, half)
+        uu, vv = x[..., 0, :], x[..., 1, :]
+        t = jnp.asarray(plan.psi_inv_br[:, m : 2 * m])[:, :, None]
+        ts = jnp.asarray(plan.psi_inv_br_shoup[:, m : 2 * m])[:, :, None]
+        qq = q[:, None, :]
+        s = add_mod_v(uu, vv, qq)
+        d = mul_shoup_v(sub_mod_v(uu, vv, qq), t, ts, qq)
+        out = jnp.stack([s, d], axis=-2).reshape(*batch, n)
+    return mul_shoup_v(
+        out, jnp.asarray(plan.n_inv), jnp.asarray(plan.n_inv_shoup), q
+    )
+
+
+def rns_add(a, b, plan: RnsPlan):
+    return add_mod_v(a, b, jnp.asarray(plan.q_arr))
+
+
+def rns_sub(a, b, plan: RnsPlan):
+    return sub_mod_v(a, b, jnp.asarray(plan.q_arr))
+
+
+def rns_neg(a, plan: RnsPlan):
+    return neg_mod_v(a, jnp.asarray(plan.q_arr))
+
+
+def rns_mul_eval(a, b, plan: RnsPlan):
+    """Pointwise product in evaluation basis."""
+    return mul_mod_v(
+        a, b, jnp.asarray(plan.q_arr), jnp.asarray(plan.neg_q_inv), jnp.asarray(plan.r2)
+    )
+
+
+def rns_mul(a, b, plan: RnsPlan):
+    """Coefficient-basis negacyclic product, all limbs fused."""
+    return rns_intt(rns_mul_eval(rns_ntt(a, plan), rns_ntt(b, plan), plan), plan)
+
+
+def rns_from_i64(v, plan: RnsPlan) -> jnp.ndarray:
+    """Broadcast signed coefficients (..., N) into all limbs (..., L, N)."""
+    vi = jnp.asarray(v, dtype=jnp.int64)[..., None, :]
+    qs = jnp.asarray(plan.q_arr.astype(np.int64))  # (L, 1)
+    return (vi % qs).astype(jnp.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Base extension / rescaling (`rns.rs:83-132,278-345`)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, eq=False)
+class BaseExtendPlan:
+    """Tables for extending base qs -> ps (`Rns::with_ps`, `rns.rs:305-322`)."""
+
+    qs: tuple[int, ...]
+    ps: tuple[int, ...]
+    q_hats_inv: np.ndarray  # (Lq, 1) q_hat_i^-1 mod q_i
+    q_hats_inv_shoup: np.ndarray
+    q_fracs: np.ndarray  # (Lq, 1) f64 1/q_i
+    q_hats_ps: np.ndarray  # (Lp, Lq) q_hat_i mod p_j
+    uq_ps: np.ndarray  # (Lp, Lq+1) (u*Q) mod p_j
+
+
+@lru_cache(maxsize=None)
+def base_extend_plan(qs: tuple[int, ...], ps: tuple[int, ...]) -> BaseExtendPlan:
+    big_q = 1
+    for q in qs:
+        big_q *= q
+    q_hats = [big_q // q for q in qs]
+    q_hats_inv = [mod_inverse(h % q, q) for h, q in zip(q_hats, qs)]
+    from .modular import shoup_precompute
+
+    qhi = np.array(q_hats_inv, dtype=np.uint64)[:, None]
+    qhi_shoup = np.stack(
+        [shoup_precompute(int(h), q) for h, q in zip(q_hats_inv, qs)]
+    ).reshape(-1, 1)
+    return BaseExtendPlan(
+        qs=qs,
+        ps=ps,
+        q_hats_inv=qhi,
+        q_hats_inv_shoup=qhi_shoup,
+        q_fracs=np.array([1.0 / q for q in qs], dtype=np.float64)[:, None],
+        q_hats_ps=np.array(
+            [[h % p for h in q_hats] for p in ps], dtype=np.uint64
+        ),
+        uq_ps=np.array(
+            [[(u * big_q) % p for u in range(len(qs) + 1)] for p in ps],
+            dtype=np.uint64,
+        ),
+    )
+
+
+def extend_bases(x: jnp.ndarray, qs: tuple[int, ...], ps: tuple[int, ...]) -> jnp.ndarray:
+    """Approximate base extension (`rns.rs:331-345`): x (..., Lq, N) -> (..., Lp, N).
+
+    v~_i = x_i * q_hat_i^-1 mod q_i; u = round(sum v~_i / q_i) in f64;
+    out_j = sum_i (q_hat_i mod p_j) * v~_i - (u*Q mod p_j).
+    """
+    bp = base_extend_plan(qs, ps)
+    q_arr = jnp.asarray(np.array(qs, dtype=np.uint64)[:, None])
+    v = mul_shoup_v(
+        u64(x), jnp.asarray(bp.q_hats_inv), jnp.asarray(bp.q_hats_inv_shoup), q_arr
+    )  # (..., Lq, N)
+    u_cnt = jnp.round(
+        jnp.sum(v.astype(jnp.float64) * jnp.asarray(bp.q_fracs), axis=-2)
+    ).astype(jnp.int64)  # (..., N)
+
+    # out_j = sum_i hat_ij * v_i mod p_j  (general modmul then modular sum)
+    outs = []
+    for j, p in enumerate(ps):
+        from .modular import ZqParams, mul_mod, sum_mod
+
+        zp = ZqParams(p)
+        vp = barrett_all(v, p)  # v_i mod p (v_i < q_i may exceed p)
+        terms = mul_mod(vp, jnp.asarray(bp.q_hats_ps[j])[:, None], zp)
+        s = sum_mod(terms, p, axis=-2)  # (..., N)
+        corr = jnp.asarray(bp.uq_ps[j])[u_cnt]  # gather (..., N)
+        outs.append(sub_mod_scalar(s, corr, p))
+    return jnp.stack(outs, axis=-2)
+
+
+def barrett_all(v, p: int):
+    from .modular import barrett_reduce_u64
+
+    return barrett_reduce_u64(v, p)
+
+
+def sub_mod_scalar(a, b, p: int):
+    from .modular import sub_mod
+
+    return sub_mod(a, b, p)
+
+
+def switch_bases(x: jnp.ndarray, qs: tuple[int, ...], ps: tuple[int, ...]) -> jnp.ndarray:
+    return extend_bases(x, qs, ps)
+
+
+def rescale_k(x: jnp.ndarray, qs: tuple[int, ...], k: int) -> jnp.ndarray:
+    """Divide-and-round by the product of the last k primes (`rns.rs:103-118`).
+
+    x: (..., L, N) over qs; returns (..., L-k, N) over qs[:-k].
+    """
+    assert k > 0
+    keep = qs[:-k]
+    drop = qs[-k:]
+    p = 1
+    for d in drop:
+        p *= d
+    # round: add p/2 to every limb (`rns.rs:120-125`)
+    p_half_mod = np.array([(p >> 1) % q for q in qs], dtype=np.uint64)[:, None]
+    q_arr = jnp.asarray(np.array(qs, dtype=np.uint64)[:, None])
+    x = add_mod_v(u64(x), jnp.asarray(p_half_mod), q_arr)
+    head, tail = x[..., : len(keep), :], x[..., len(keep) :, :]
+    keep_q = jnp.asarray(np.array(keep, dtype=np.uint64)[:, None])
+    if k == 1:
+        # subtract the dropped limb's raw value from every kept limb
+        rp = tail[..., 0, :]  # (..., N) values < drop[0]
+        rp_mod = jnp.stack(
+            [barrett_all(rp, q) if drop[0] >= q else rp for q in keep], axis=-2
+        )
+        head = sub_mod_v(head, rp_mod, keep_q)
+    else:
+        conv = switch_bases(tail, drop, keep)  # (..., L-k, N)
+        head = sub_mod_v(head, conv, keep_q)
+    # divide: multiply by p^-1 mod q (`rns.rs:127-132`)
+    from .modular import shoup_precompute
+
+    p_inv = np.array([mod_inverse(p % q, q) for q in keep], dtype=np.uint64)[:, None]
+    p_inv_shoup = np.stack(
+        [shoup_precompute(int(mod_inverse(p % q, q)), q) for q in keep]
+    ).reshape(-1, 1)
+    return mul_shoup_v(head, jnp.asarray(p_inv), jnp.asarray(p_inv_shoup), keep_q)
