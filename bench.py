@@ -1,0 +1,130 @@
+"""Headline benchmark: TFHE programmable bootstraps/sec/chip.
+
+Runs the batched PBS pipeline at the reference parameter set
+(`tfhe/bootstrapping.rs:141-152`: p=2^4, TLWE n=1024 B=2^4 d=5,
+TGGSW N=2048 k=1 B=2^23 d=1) on whatever device JAX resolves (the real TPU
+chip under the driver), and prints ONE JSON line.
+
+Baseline: BASELINE.json's north star is >= 1000 PBS/sec on a v5e-8,
+i.e. 125 PBS/sec/chip.
+
+Usage: python bench.py [--batch B] [--iters K] [--smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+PER_CHIP_BASELINE = 125.0  # 1000 PBS/sec / 8 chips (BASELINE.json north star)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--smoke", action="store_true", help="tiny params on CPU for a fast check"
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.models.tfhe import (
+        BootstrapParams,
+        TggswParams,
+        TglweParams,
+        TlweParams,
+        key_gen,
+        lut_table,
+        tglwe,
+        tlwe,
+    )
+    from learn_fhe_tpu.models.tfhe.bootstrapping import mod_switch_2n
+    from learn_fhe_tpu.parallel.batch import tfhe_pbs_batch_device
+
+    rng = np.random.default_rng(0)
+    if args.smoke:
+        params = BootstrapParams(
+            TlweParams(log_p=2, padding=1, n=32, std_dev=1.34e-7, log_b=4, d=5),
+            TggswParams(
+                TglweParams(log_p=2, padding=1, big_n=128, k=1, std_dev=2.85e-15),
+                log_b=23,
+                d=1,
+            ),
+        )
+    else:
+        # reference PBS fixture
+        params = BootstrapParams(
+            TlweParams(
+                log_p=4, padding=1, n=1024, std_dev=1.339775301998614e-7, log_b=4, d=5
+            ),
+            TggswParams(
+                TglweParams(
+                    log_p=4, padding=1, big_n=2048, k=1, std_dev=2.845267479601915e-15
+                ),
+                log_b=23,
+                d=1,
+            ),
+        )
+
+    z = tlwe.sk_gen(params.tlwe, rng)
+    t0 = time.time()
+    key = key_gen(params, z, rng)
+    keygen_s = time.time() - t0
+
+    tab = lut_table(params.tlwe.log_p, params.big_n, lambda v: v)
+    v_enc = tglwe.encode(params.tglwe, jnp.asarray(tab))
+    B = args.batch
+    ms = rng.integers(0, params.tlwe.p, size=B).astype(np.uint64)
+    cts = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
+    a2n, b2n = mod_switch_2n(cts, params.big_n)
+
+    # compile (excluded from timing)
+    t0 = time.time()
+    out = tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    # verify correctness of the benched computation
+    got = np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out)))
+    assert np.array_equal(got, ms), "benchmark output failed decryption check"
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    pbs_per_sec = B * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tfhe_pbs_per_sec_per_chip",
+                "value": round(pbs_per_sec, 3),
+                "unit": "bootstraps/s",
+                "vs_baseline": round(pbs_per_sec / PER_CHIP_BASELINE, 4),
+            }
+        )
+    )
+    # secondary details on stderr-ish (not the contract line)
+    import sys
+
+    print(
+        f"# params N={params.big_n} n={params.tlwe.n} batch={B} iters={args.iters} "
+        f"keygen={keygen_s:.1f}s compile={compile_s:.1f}s steady={dt:.2f}s "
+        f"device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,9 +27,10 @@ GATE_TABLES = {
 }
 
 
-def encode_bool(params: BootstrapParams, m: bool) -> jnp.ndarray:
+def encode_bool(params: BootstrapParams, m) -> jnp.ndarray:
+    """m: bool or bool/uint array (batched)."""
     assert params.p == 4
-    return lwe.encode(params.lwe_z, jnp.asarray(int(m), dtype=jnp.uint64))
+    return lwe.encode(params.lwe_z, jnp.asarray(m, dtype=jnp.uint64))
 
 
 def decode_bool(params: BootstrapParams, pt) -> jnp.ndarray:

@@ -1,0 +1,125 @@
+"""Batched bootstrap pipelines -- the throughput surface of the framework.
+
+One bootstrap is a sequential accumulator walk (SURVEY.md §7.3 hard part 6),
+so per-chip throughput comes from vmapping the walk over a ciphertext batch
+and sharding that batch over the mesh; keys are replicated, and every step's
+work is elementwise over the batch so no cross-device traffic occurs inside
+the scan. These are the kernels `bench.py` measures and `__graft_entry__`
+compiles for the multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import tfhe
+from ..models.fhew import bootstrapping as fhew_boot
+from ..models.fhew import gates as fhew_gates
+from ..models.fhew import lwe as fhew_lwe
+from ..models.fhew.bootstrapping import BootstrapKey as FhewKey, BootstrapParams as FhewParams
+from ..models.fhew.lwe import LweCiphertext as FhewLwe, LweKeySwitchingKey
+from ..models.tfhe.bootstrapping import BootstrapKey as TfheKey, BootstrapParams as TfheParams
+from ..models.tfhe.tlwe import TlweCiphertext
+from ..ops.modular import add_mod, u64
+from ..ops.poly import automorphism_zq, monomial_mul_zq
+
+
+# -- TFHE batched programmable bootstrap ---------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0,))
+def tfhe_pbs_batch_device(
+    params: TfheParams,
+    key: TfheKey,
+    v_encoded: jnp.ndarray,  # (N,) torus LUT
+    a2n: jnp.ndarray,  # (B, n) signed exponents
+    b2n: jnp.ndarray,  # (B,)
+) -> TlweCiphertext:
+    """vmap of the CMux-chain blind rotation over a ciphertext batch, fused
+    with sample-extract and key-switch. This is the flagship device step."""
+
+    def one(a, b):
+        acc = tfhe.blind_rotate(params, key, v_encoded, a, b)
+        return acc.a, acc.b
+
+    acc_a, acc_b = jax.vmap(one)(a2n, b2n)
+    from ..models.tfhe import tglwe, tlwe
+
+    ext = tglwe.sample_extract(
+        params.tglwe, tfhe.tglwe.TglweCiphertext(acc_a, acc_b), 0
+    )
+    return tlwe.key_switch(params.tlwe, key.ksk, ext)
+
+
+def tfhe_pbs_batch(
+    params: TfheParams, key: TfheKey, v: jnp.ndarray, cts: TlweCiphertext
+) -> TlweCiphertext:
+    """Full batched PBS: cts carries a leading batch axis."""
+    v_enc = tfhe.tglwe.encode(params.tglwe, v)
+    a2n, b2n = tfhe.mod_switch_2n(cts, params.big_n)
+    return tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+
+
+# -- FHEW batched gate bootstrap -------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0,))
+def fhew_blind_rotate_batch_device(
+    params: FhewParams,
+    key: FhewKey,
+    f_prime: jnp.ndarray,  # (B, N) prepared LUT (already twisted by X^{gb})
+    ops: jnp.ndarray,  # (B, L) schedule opcodes
+    idxs: jnp.ndarray,  # (B, L)
+) -> FhewLwe:
+    """vmap of the LMKCDEY walk over a batch of (schedule, acc) pairs; under
+    vmap the per-step lax.switch lowers to a select over both branch results,
+    trading ~1.5x FLOPs for a single fused batched kernel."""
+
+    def one(fp, op_row, idx_row):
+        acc = fhew_boot.RlweCiphertext(jnp.zeros_like(fp), fp)
+        out = fhew_boot.blind_rotate_core(params, key, op_row, idx_row, acc)
+        return out.a, out.b
+
+    acc_a, acc_b = jax.vmap(one)(f_prime, ops, idxs)
+    from ..models.fhew import rlwe
+
+    ext = rlwe.sample_extract(
+        params.rlwe, fhew_boot.RlweCiphertext(acc_a, acc_b), 0
+    )
+    return ext
+
+
+def fhew_bootstrap_batch(
+    params: FhewParams, key: FhewKey, f: jnp.ndarray, cts: FhewLwe
+) -> FhewLwe:
+    """Batched Figure-2 pipeline (`fhew/bootstrapping.rs:148-155`)."""
+    g = fhew_boot.AUTO_G
+    ct = fhew_lwe.ct_mod_switch(cts, params.big_q, params.big_q_ks)
+    ct = fhew_lwe.key_switch(
+        params.lwe_s, LweKeySwitchingKey(key.ksk_a, key.ksk_b), ct
+    )
+    ct = fhew_lwe.ct_mod_switch_odd(ct, params.big_q_ks, params.q)
+    # prepare per-ct rotated LUTs and schedules (public data, host)
+    f_auto = automorphism_zq(u64(f), -g, params.big_q)  # (N,)
+    b_g = (jnp.asarray(ct.b, dtype=jnp.int64) * g) % (2 * params.n)  # (B,)
+    f_prime = jax.vmap(lambda s: monomial_mul_zq(f_auto, s, params.big_q))(b_g)
+    ops, idxs = fhew_boot.build_schedule(params, np.asarray(ct.a))
+    return fhew_blind_rotate_batch_device(
+        params, key, f_prime, jnp.asarray(ops), jnp.asarray(idxs)
+    )
+
+
+def fhew_gate_batch(
+    params: FhewParams, key: FhewKey, name: str, ct0s: FhewLwe, ct1s: FhewLwe
+) -> FhewLwe:
+    """Batched 2-input gate: linear combine + one batched LUT bootstrap."""
+    lin = fhew_gates._lin2(params, name, ct0s, ct1s)
+    f = fhew_gates.lut_poly(params, fhew_gates.GATE_TABLES[name])
+    out = fhew_bootstrap_batch(params, key, f, lin)
+    return FhewLwe(
+        out.a, add_mod(out.b, u64(params.big_q_by_8), params.big_q)
+    )
