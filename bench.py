@@ -24,7 +24,7 @@ PER_CHIP_BASELINE = 125.0  # 1000 PBS/sec / 8 chips (BASELINE.json north star)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
         "--smoke", action="store_true", help="tiny params on CPU for a fast check"

@@ -127,7 +127,10 @@ class BootstrapParams:
 
 
 class BootstrapKey(NamedTuple):
-    """Device-resident key material, all evaluation-basis / Montgomery."""
+    """Device-resident key material, all evaluation-basis residency.
+
+    For q < 2^31 the brk/ak values are u32 with Shoup duals; otherwise u64
+    Montgomery with the dual fields None."""
 
     ksk_a: jnp.ndarray  # (d_ks, N, n) LWE key-switching key
     ksk_b: jnp.ndarray  # (d_ks, N)
@@ -137,6 +140,10 @@ class BootstrapKey(NamedTuple):
     ak_b: jnp.ndarray  # (w+1, d, N)
     auto_src: jnp.ndarray  # (w+1, N) gather maps for X -> X^{t_v}
     auto_sign: jnp.ndarray  # (w+1, N) bool
+    brk_ad: jnp.ndarray | None = None  # Shoup duals (u32 path)
+    brk_bd: jnp.ndarray | None = None
+    ak_ad: jnp.ndarray | None = None
+    ak_bd: jnp.ndarray | None = None
 
 
 def _monomial_poly(n: int, q: int, exps: np.ndarray) -> np.ndarray:
@@ -173,6 +180,7 @@ def _pack_key(
 ) -> BootstrapKey:
     ak_a = jnp.stack([k.a_eval for k in ak_ksks])
     ak_b = jnp.stack([k.b_eval for k in ak_ksks])
+    u32 = params.rgsw.use_u32 and brk_eval.a_dual is not None
     srcs, signs = [], []
     for t in params.ak_t:
         src, sign = automorphism_map(params.n, t)
@@ -187,6 +195,10 @@ def _pack_key(
         ak_b=ak_b,
         auto_src=jnp.asarray(np.stack(srcs)),
         auto_sign=jnp.asarray(np.stack(signs)),
+        brk_ad=brk_eval.a_dual,
+        brk_bd=brk_eval.b_dual,
+        ak_ad=jnp.stack([k.a_dual for k in ak_ksks]) if u32 else None,
+        ak_bd=jnp.stack([k.b_dual for k in ak_ksks]) if u32 else None,
     )
 
 
@@ -267,24 +279,33 @@ def blind_rotate_core(
     acc: RlweCiphertext,
 ) -> RlweCiphertext:
     """lax.scan over the padded schedule; each step gathers its key slice and
-    switches between {external product, automorphism+keyswitch, noop}."""
+    switches between {external product, automorphism+keyswitch, noop}.
+    When q < 2^31 the whole walk carries the accumulator on u32 lanes."""
     gp = params.rgsw
     rp = params.rlwe
     q = params.big_q
+    u32 = gp.use_u32 and key.brk_ad is not None
 
-    def ext_branch(carry, brk_a, brk_b, _src, _sign, _ak_a, _ak_b):
+    if u32:
+        from ...ops.modular32 import neg_mod32
+
+        neg = lambda x: neg_mod32(x, q)
+    else:
+        neg = lambda x: neg_mod(x, q)
+
+    def ext_branch(carry, brk, _src, _sign, _ak):
         ct = RlweCiphertext(*carry)
-        out = rgsw.external_product(gp, RgswEval(brk_a, brk_b), ct)
+        out = rgsw.external_product(gp, RgswEval(*brk), ct)
         return (out.a, out.b)
 
-    def auto_branch(carry, _brk_a, _brk_b, src, sign, ak_a, ak_b):
+    def auto_branch(carry, _brk, src, sign, ak):
         a, b = carry
         a_g = a[..., src]
         b_g = b[..., src]
-        a_auto = jnp.where(sign, neg_mod(a_g, q), a_g)
-        b_auto = jnp.where(sign, neg_mod(b_g, q), b_g)
+        a_auto = jnp.where(sign, neg(a_g), a_g)
+        b_auto = jnp.where(sign, neg(b_g), b_g)
         out = rlwe.key_switch(
-            rp, rlwe.RlweKeySwitchingKey(ak_a, ak_b), RlweCiphertext(a_auto, b_auto)
+            rp, rlwe.RlweKeySwitchingKey(*ak), RlweCiphertext(a_auto, b_auto)
         )
         return (out.a, out.b)
 
@@ -293,26 +314,32 @@ def blind_rotate_core(
 
     def step(carry, op_idx):
         op, idx = op_idx
-        brk_a = key.brk_a[idx]
-        brk_b = key.brk_b[idx]
-        ak_a = key.ak_a[idx]
-        ak_b = key.ak_b[idx]
+        brk = (
+            key.brk_a[idx],
+            key.brk_b[idx],
+            key.brk_ad[idx] if u32 else None,
+            key.brk_bd[idx] if u32 else None,
+        )
+        ak = (
+            key.ak_a[idx],
+            key.ak_b[idx],
+            key.ak_ad[idx] if u32 else None,
+            key.ak_bd[idx] if u32 else None,
+        )
         src = key.auto_src[idx]
         sign = key.auto_sign[idx]
         carry = jax.lax.switch(
-            op,
-            [ext_branch, auto_branch, noop_branch],
-            carry,
-            brk_a,
-            brk_b,
-            src,
-            sign,
-            ak_a,
-            ak_b,
+            op, [ext_branch, auto_branch, noop_branch], carry, brk, src, sign, ak
         )
         return carry, None
 
-    (a, b), _ = jax.lax.scan(step, (acc.a, acc.b), (ops, idxs))
+    acc_a, acc_b = acc.a, acc.b
+    if u32:
+        acc_a = acc_a.astype(jnp.uint32)
+        acc_b = acc_b.astype(jnp.uint32)
+    (a, b), _ = jax.lax.scan(step, (acc_a, acc_b), (ops, idxs))
+    if u32:
+        a, b = u64(a), u64(b)
     return RlweCiphertext(a, b)
 
 

@@ -66,6 +66,22 @@ class RlweParams:
     def plan(self) -> NttPlan:
         return ntt_plan(self.q, self.n)
 
+    @cached_property
+    def use_u32(self) -> bool:
+        """Hot loops run on native u32 lanes when the modulus and the whole
+        gadget digit span fit (see `ops.gadget.decompose_zq_supports_u32`)."""
+        from ...ops.gadget import decompose_zq_supports_u32
+
+        return self.q < (1 << 31) and (
+            self.log_b is None or decompose_zq_supports_u32(self.gadget)
+        )
+
+    @cached_property
+    def plan32(self):
+        from ...ops.ntt32 import ntt32_plan
+
+        return ntt32_plan(self.q, self.n)
+
 
 @dataclass(frozen=True)
 class RgswParams:
@@ -95,3 +111,13 @@ class RgswParams:
     @property
     def plan(self) -> NttPlan:
         return self.rlwe.plan
+
+    @cached_property
+    def use_u32(self) -> bool:
+        from ...ops.gadget import decompose_zq_supports_u32
+
+        return self.q < (1 << 31) and decompose_zq_supports_u32(self.gadget)
+
+    @property
+    def plan32(self):
+        return self.rlwe.plan32

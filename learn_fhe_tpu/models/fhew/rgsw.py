@@ -32,10 +32,13 @@ class RgswCiphertext(NamedTuple):
 
 
 class RgswEval(NamedTuple):
-    """Evaluation-basis, Montgomery-domain residency for external products."""
+    """Evaluation-basis residency for external products: u32 + Shoup duals
+    when the modulus fits 31 bits, else u64 Montgomery (duals None)."""
 
     a: jnp.ndarray  # (..., 2d, N)
     b: jnp.ndarray  # (..., 2d, N)
+    a_dual: jnp.ndarray | None = None
+    b_dual: jnp.ndarray | None = None
 
 
 def add(params: RgswParams, ct0: RgswCiphertext, ct1: RgswCiphertext) -> RgswCiphertext:
@@ -104,7 +107,16 @@ def decrypt_rgsw(params: RgswParams, sk: np.ndarray, ct: RgswCiphertext) -> jnp.
 
 
 def to_eval(params: RgswParams, ct: RgswCiphertext) -> RgswEval:
-    """One-time NTT + Montgomery conversion for key residency."""
+    """One-time NTT (+ Shoup duals / Montgomery) for key residency."""
+    if params.use_u32:
+        from ...ops.modular32 import shoup32_device
+        from ...ops.ntt32 import ntt32
+
+        ea = ntt32(u64(ct.a).astype(jnp.uint32), params.plan32)
+        eb = ntt32(u64(ct.b).astype(jnp.uint32), params.plan32)
+        return RgswEval(
+            ea, eb, shoup32_device(ea, params.q), shoup32_device(eb, params.q)
+        )
     zq = params.plan.zq
     return RgswEval(
         to_montgomery(ntt(ct.a, params.plan), zq),
@@ -123,7 +135,14 @@ def decompose_rlwe(params: RgswParams, ct: RlweCiphertext) -> jnp.ndarray:
 def external_product(
     params: RgswParams, key: RgswEval, ct: RlweCiphertext
 ) -> RlweCiphertext:
-    """RGSW x RLWE -> RLWE (`rgsw.rs:116-128`), evaluation-basis schedule."""
+    """RGSW x RLWE -> RLWE (`rgsw.rs:116-128`), evaluation-basis schedule.
+    u32 lanes with Shoup key products when q < 2^31 (output keeps the
+    caller's ciphertext dtype), else u64 Montgomery."""
+    if params.use_u32 and key.a_dual is not None:
+        out32 = _external_product32(params, key, ct)
+        if ct.a.dtype == jnp.uint32:
+            return out32
+        return RlweCiphertext(u64(out32.a), u64(out32.b))
     zq = params.plan.zq
     limbs = decompose_rlwe(params, ct)  # (..., 2d, N)
     limbs_eval = ntt(limbs, params.plan)
@@ -132,12 +151,34 @@ def external_product(
     return RlweCiphertext(intt(a_eval, params.plan), intt(b_eval, params.plan))
 
 
+def _external_product32(
+    params: RgswParams, key: RgswEval, ct: RlweCiphertext
+) -> RlweCiphertext:
+    from ...ops.gadget import decompose_zq32
+    from ...ops.modular32 import mul_shoup32, sum_mod32
+    from ...ops.ntt32 import intt32, ntt32
+
+    q = params.q
+    la = decompose_zq32(ct.a, params.gadget)  # (d, ..., N) u32
+    lb = decompose_zq32(ct.b, params.gadget)
+    limbs = jnp.moveaxis(jnp.concatenate([la, lb], axis=0), 0, -2)  # (..., 2d, N)
+    limbs_eval = ntt32(limbs, params.plan32)
+    a_eval = sum_mod32(mul_shoup32(limbs_eval, key.a, key.a_dual, q), q, axis=-2)
+    b_eval = sum_mod32(mul_shoup32(limbs_eval, key.b, key.b_dual, q), q, axis=-2)
+    return RlweCiphertext(intt32(a_eval, params.plan32), intt32(b_eval, params.plan32))
+
+
 def internal_product(
     params: RgswParams, key: RgswEval, ct: RgswCiphertext
 ) -> RgswCiphertext:
     """RGSW x RGSW -> RGSW, used to merge multi-key brk shares
     (`rgsw.rs:130-150`): every row of ct goes through an external product
     against key."""
+    if params.use_u32 and key.a_dual is not None:
+        # each row of ct goes through an independent external product: the
+        # batched row axis of _external_product32 does exactly that
+        res = _external_product32(params, key, RlweCiphertext(ct.a, ct.b))
+        return RgswCiphertext(u64(res.a), u64(res.b))
     zq = params.plan.zq
     limbs = jnp.concatenate(
         [decompose_zq(ct.a, params.gadget), decompose_zq(ct.b, params.gadget)],

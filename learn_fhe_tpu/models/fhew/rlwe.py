@@ -40,11 +40,14 @@ class RlweCiphertext(NamedTuple):
 
 
 class RlweKeySwitchingKey(NamedTuple):
-    """Rows enc(-sk1 * B^i); stored twice: coefficient basis (for the share
-    protocol / parity checks) is NOT kept -- only eval-Montgomery residency."""
+    """Rows enc(-sk1 * B^i), evaluation-basis residency. For q < 2^31 the
+    values are u32 with Shoup duals (6-mul pointwise products); for larger q
+    they are u64 in the Montgomery domain and the duals are None."""
 
-    a_eval: jnp.ndarray  # (d, N) evaluation basis, Montgomery domain
+    a_eval: jnp.ndarray  # (d, N) evaluation basis
     b_eval: jnp.ndarray  # (d, N)
+    a_dual: jnp.ndarray | None = None  # Shoup duals (u32 path only)
+    b_dual: jnp.ndarray | None = None
 
 
 class RlweAutoKey(NamedTuple):
@@ -125,16 +128,31 @@ def _to_eval_mont(params: RlweParams, x: jnp.ndarray) -> jnp.ndarray:
     return to_montgomery(ntt(x, params.plan), params.plan.zq)
 
 
-def ksk_gen(
-    params: RlweParams, sk0: np.ndarray, sk1: np.ndarray, rng: np.random.Generator
-) -> RlweKeySwitchingKey:
-    """rows = enc_{sk0}(-sk1 * B^i) (`rlwe.rs:109-120`), stored eval/Montgomery."""
-    neg_sk1 = from_i64(jnp.asarray(-np.asarray(sk1)), params.q)
-    pt = power_up_zq(neg_sk1, params.gadget)  # (d, N)
-    ct = sk_encrypt(params, sk0, pt, rng)
+def make_ksk(params: RlweParams, ct: RlweCiphertext) -> RlweKeySwitchingKey:
+    """Move a coefficient-basis key ciphertext into hot-loop residency:
+    u32 eval + Shoup duals when the modulus fits, else u64 eval-Montgomery."""
+    if params.use_u32:
+        from ...ops.modular32 import shoup32_device
+        from ...ops.ntt32 import ntt32
+
+        ea = ntt32(u64(ct.a).astype(jnp.uint32), params.plan32)
+        eb = ntt32(u64(ct.b).astype(jnp.uint32), params.plan32)
+        return RlweKeySwitchingKey(
+            ea, eb, shoup32_device(ea, params.q), shoup32_device(eb, params.q)
+        )
     return RlweKeySwitchingKey(
         _to_eval_mont(params, ct.a), _to_eval_mont(params, ct.b)
     )
+
+
+def ksk_gen(
+    params: RlweParams, sk0: np.ndarray, sk1: np.ndarray, rng: np.random.Generator
+) -> RlweKeySwitchingKey:
+    """rows = enc_{sk0}(-sk1 * B^i) (`rlwe.rs:109-120`), stored in eval basis."""
+    neg_sk1 = from_i64(jnp.asarray(-np.asarray(sk1)), params.q)
+    pt = power_up_zq(neg_sk1, params.gadget)  # (d, N)
+    ct = sk_encrypt(params, sk0, pt, rng)
+    return make_ksk(params, ct)
 
 
 def ak_gen(
@@ -149,7 +167,16 @@ def ak_gen(
 def key_switch(
     params: RlweParams, ksk: RlweKeySwitchingKey, ct: RlweCiphertext
 ) -> RlweCiphertext:
-    """a' = sum_i decomp_i(a) * ksk.a_i, b' = sum_i ... + b (`rlwe.rs:177-186`)."""
+    """a' = sum_i decomp_i(a) * ksk.a_i, b' = sum_i ... + b (`rlwe.rs:177-186`).
+
+    Dispatches on modulus size: u32 lanes with Shoup key products when
+    q < 2^31 (preserving the caller's ciphertext dtype), else u64 Montgomery.
+    """
+    if params.use_u32 and ksk.a_dual is not None:
+        out32 = _key_switch32(params, ksk, ct)
+        if ct.a.dtype == jnp.uint32:
+            return out32
+        return RlweCiphertext(u64(out32.a), u64(out32.b))
     zq = params.plan.zq
     limbs = decompose_zq(ct.a, params.gadget)  # (d, ..., N)
     limbs_eval = ntt(limbs, params.plan)
@@ -160,6 +187,32 @@ def key_switch(
     b_eval = sum_mod(mont_mul(ksk_b, limbs_eval, zq), params.q, axis=0)
     a = intt(a_eval, params.plan)
     b = add_mod(intt(b_eval, params.plan), ct.b, params.q)
+    return RlweCiphertext(a, b)
+
+
+def _key_switch32(
+    params: RlweParams, ksk: RlweKeySwitchingKey, ct: RlweCiphertext
+) -> RlweCiphertext:
+    from ...ops.gadget import decompose_zq32
+    from ...ops.modular32 import add_mod32, mul_shoup32, sum_mod32
+    from ...ops.ntt32 import intt32, ntt32
+
+    q = params.q
+    limbs = decompose_zq32(ct.a, params.gadget)  # (d, ..., N) u32
+    limbs_eval = ntt32(limbs, params.plan32)
+    shape = (params.gadget.d, *([1] * (limbs.ndim - 2)), params.n)
+    a_eval = sum_mod32(
+        mul_shoup32(limbs_eval, ksk.a_eval.reshape(shape), ksk.a_dual.reshape(shape), q),
+        q,
+        axis=0,
+    )
+    b_eval = sum_mod32(
+        mul_shoup32(limbs_eval, ksk.b_eval.reshape(shape), ksk.b_dual.reshape(shape), q),
+        q,
+        axis=0,
+    )
+    a = intt32(a_eval, params.plan32)
+    b = add_mod32(intt32(b_eval, params.plan32), ct.b.astype(jnp.uint32), q)
     return RlweCiphertext(a, b)
 
 

@@ -58,20 +58,30 @@ class BootstrapParams:
 class BootstrapKey(NamedTuple):
     brk: TggswEval  # rows stacked over the n LWE key bits: (n, R, ...)
     ksk: TlweKeySwitchingKey
+    mon_v: tuple  # per prime (2N, N) u32: NTT rows of X^s for every s
+    mon_d: tuple  # matching Shoup duals
 
 
 def key_gen(
     params: BootstrapParams, z: np.ndarray, rng: np.random.Generator
 ) -> BootstrapKey:
     """brk_i = TGGSW(z_i as constant poly) under a fresh TGLWE key s;
-    ksk from the flattened s back to z (`bootstrapping.rs:59-76`)."""
+    ksk from the flattened s back to z (`bootstrapping.rs:59-76`); plus the
+    public monomial evaluation tables the NTT-domain rotation gathers from."""
+    from ...ops.torus_crt import monomial_eval_table, required_bound_bits
+
     s = tglwe.sk_gen(params.tglwe, rng)
     const = np.zeros((params.tlwe.n, params.big_n), dtype=np.uint64)
     const[:, 0] = np.asarray(z).astype(np.uint64)
     brk_coeff = tggsw.sk_encrypt(params.tggsw, s, jnp.asarray(const), rng)
     brk = tggsw.to_eval(params.tggsw, brk_coeff)
     ksk = tlwe.ksk_gen(params.tlwe, z, s.reshape(-1), rng)
-    return BootstrapKey(brk, ksk)
+    rows = (params.tglwe.k + 1) * params.tggsw.d
+    bound = required_bound_bits(params.big_n, params.tggsw.log_b, rows)
+    mv, md = monomial_eval_table(params.big_n, bound)
+    mon_v = tuple(jnp.asarray(mv[i]) for i in range(mv.shape[0]))
+    mon_d = tuple(jnp.asarray(md[i]) for i in range(md.shape[0]))
+    return BootstrapKey(brk, ksk, mon_v, mon_d)
 
 
 def mod_switch_2n(ct: TlweCiphertext, big_n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,28 +98,40 @@ def blind_rotate(
     params: BootstrapParams,
     key: BootstrapKey,
     v_encoded: jnp.ndarray,
-    a2n: jnp.ndarray,
-    b2n: jnp.ndarray,
+    a2n: jnp.ndarray,  # (..., n) signed exponents in [0, 2N)
+    b2n: jnp.ndarray,  # (...,)
 ) -> TglweCiphertext:
-    """CMux chain (`bootstrapping.rs:84-96`). v_encoded: (N,) torus LUT."""
+    """CMux chain (`bootstrapping.rs:84-96`), natively batched: every step is
+    acc += (X^{a_i} - 1) (*) ExtProd(brk_i, acc) with the monomial applied
+    pointwise in the NTT domain (gathered rows of the key's monomial table),
+    so no per-element coefficient gathers appear inside the scan."""
     k = params.tglwe.k
+    n2 = 2 * params.big_n
+    batch = b2n.shape
 
     acc0 = TglweCiphertext(
-        jnp.zeros((k, params.big_n), dtype=jnp.uint64),
-        jnp.broadcast_to(v_encoded, (params.big_n,)),
+        jnp.zeros((*batch, k, params.big_n), dtype=jnp.uint64),
+        jnp.broadcast_to(v_encoded, (*batch, params.big_n)),
     )
-    acc0 = tglwe.rotate(acc0, -b2n)
+    # one-time initial rotation by X^{-b} (outside the hot loop)
+    neg_b = (-b2n) % n2
+    if batch:
+        rot = jax.vmap(tglwe.rotate) if len(batch) == 1 else tglwe.rotate
+        acc0 = rot(acc0, neg_b)
+    else:
+        acc0 = tglwe.rotate(acc0, neg_b)
 
     def step(carry, inp):
         acc = TglweCiphertext(*carry)
-        a_i, brk_a1, brk_a2, brk_b1, brk_b2 = inp
-        rotated = tglwe.rotate(acc, a_i)
-        key_i = TggswEval(brk_a1, brk_a2, brk_b1, brk_b2)
-        out = tggsw.cmux(params.tggsw, key_i, acc, rotated)
+        a_i, key_i = inp  # a_i: (...,) exponents for this LWE key bit
+        s = a_i % n2
+        mv = tuple(jnp.take(t, s, axis=0) for t in key.mon_v)  # (..., N)
+        md = tuple(jnp.take(t, s, axis=0) for t in key.mon_d)
+        out = tggsw.cmux_rotate(params.tggsw, key_i, acc, mv, md)
         return (out.a, out.b), None
 
-    xs = (a2n, key.brk.a1, key.brk.a2, key.brk.b1, key.brk.b2)
-    (a, b), _ = jax.lax.scan(step, (acc0.a, acc0.b), xs)
+    a_scan = jnp.moveaxis(a2n, -1, 0)  # (n, ...)
+    (a, b), _ = jax.lax.scan(step, (acc0.a, acc0.b), (a_scan, key.brk))
     return TglweCiphertext(a, b)
 
 

@@ -1,20 +1,22 @@
 """TGLWE: ring-LWE over the torus (reference `tglwe.rs`).
 
 Ciphertext = (a: (..., k, N), b: (..., N)) u64. Ring products go through the
-exact 2-prime NTT torus multiplier (`ops/torus_ntt.py`) -- the secret is
-binary, so the small-operand exactness bound always holds.
+exact multi-prime u32 CRT NTT torus multiplier (`ops/torus_crt.py`) -- the
+secret is binary, so the small-operand exactness bound always holds.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...ops.modular import u64
 from ...ops.poly import monomial_mul_t64
-from ...ops.torus_ntt import negacyclic_mul_t64
+from ...ops.torus_crt import negacyclic_mul_t64_crt
 from ...utils.distributions import binary, tdg, uniform_t64
 from .params import TglweParams, TlweParams
 from .tlwe import TlweCiphertext
@@ -46,11 +48,22 @@ def decode(params: TglweParams, pt) -> jnp.ndarray:
     return (u64(pt) >> np.uint64(params.log_delta)) % u64(params.p)
 
 
-def _dot_sk(a: jnp.ndarray, sk: np.ndarray) -> jnp.ndarray:
-    """sum_i a_i (*) s_i over the k ring components."""
-    sk_u = jnp.asarray(np.asarray(sk).astype(np.uint64))  # (k, N)
-    prods = negacyclic_mul_t64(sk_u, u64(a))  # small operand first
+@jax.jit
+def _dot_sk_device(a: jnp.ndarray, sk_u: jnp.ndarray) -> jnp.ndarray:
+    prods = negacyclic_mul_t64_crt(sk_u, u64(a), log_b=2)  # binary secret
     return jnp.sum(prods, axis=-2)
+
+
+def _dot_sk(a: jnp.ndarray, sk: np.ndarray) -> jnp.ndarray:
+    """sum_i a_i (*) s_i over the k ring components (jitted: eager dispatch
+    on a tunneled TPU costs seconds per op)."""
+    sk_u = jnp.asarray(np.asarray(sk).astype(np.uint64))  # (k, N)
+    return _dot_sk_device(u64(a), sk_u)
+
+
+@jax.jit
+def _encrypt_b(a, sk_u, e, pt):
+    return _dot_sk_device(a, sk_u) + e + pt
 
 
 def sk_encrypt(
@@ -60,7 +73,8 @@ def sk_encrypt(
     shape = pt.shape[:-1]
     a = jnp.asarray(uniform_t64(rng, (*shape, params.k, params.big_n)))
     e = jnp.asarray(tdg(params.std_dev, rng, (*shape, params.big_n)))
-    return TglweCiphertext(a, _dot_sk(a, sk) + e + pt)
+    sk_u = jnp.asarray(np.asarray(sk).astype(np.uint64))
+    return TglweCiphertext(a, _encrypt_b(a, sk_u, e, pt))
 
 
 def decrypt(params: TglweParams, sk: np.ndarray, ct: TglweCiphertext) -> jnp.ndarray:

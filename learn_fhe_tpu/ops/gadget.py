@@ -99,6 +99,44 @@ def decompose_zq(x: jnp.ndarray, gadget: Gadget) -> jnp.ndarray:
     return jnp.stack(digits, axis=0)
 
 
+def decompose_zq_supports_u32(gadget: Gadget) -> bool:
+    """The u32 walk emits digits identical to the u64 one whenever the whole
+    digit span fits below the width difference (see decompose_zq32)."""
+    return 0 < gadget.q < (1 << 31) and gadget.log_b * gadget.d <= 31
+
+
+def decompose_zq32(x: jnp.ndarray, gadget: Gadget) -> jnp.ndarray:
+    """u32-lane variant of `decompose_zq` for q < 2^31, log_b*d <= 31.
+
+    Same op sequence on 32-bit lanes; digits depend only on the low
+    log_b*(d-i) bits at each stage, which agree between widths under the
+    gate above, so outputs are bit-identical to `decompose_zq`.
+    """
+    from .modular32 import add_mod32
+
+    q = gadget.q
+    log_b = gadget.log_b
+    mask = np.uint32((1 << log_b) - 1)
+    b_by_2 = np.uint32(1 << (log_b - 1))
+    neg_b = np.uint32(q - (1 << log_b))
+    one = np.uint32(1)
+
+    x = x.astype(jnp.uint32)
+    bits = gadget.rounding_bits
+    if bits:
+        half = np.uint32((((1 << bits) >> 1)) % q)
+        x = add_mod32(x, half, q) >> np.uint32(bits)
+    qq = np.uint32(q)
+    v = jnp.where(x < (qq >> np.uint32(1)), x, x - qq)  # centered, 2s complement
+    digits = []
+    for _ in range(gadget.d):
+        limb = v & mask
+        carry = (limb + (v & one) > b_by_2).astype(jnp.uint32)
+        v = (v >> np.uint32(log_b)) + carry
+        digits.append(limb + carry * neg_b)
+    return jnp.stack(digits, axis=0)
+
+
 def decompose_t64(x: jnp.ndarray, gadget: Gadget) -> jnp.ndarray:
     """Signed digits of a torus value, branch-free carry (`decompose.rs:124-135`).
 
@@ -121,6 +159,41 @@ def decompose_t64(x: jnp.ndarray, gadget: Gadget) -> jnp.ndarray:
         carry = (((limb - one) | v) & limb) >> np.uint64(log_b - 1)
         v = v + carry
         digits.append(limb - (carry << np.uint64(log_b)))
+    return jnp.stack(digits, axis=0)
+
+
+def decompose_t64_supports_u32(gadget: Gadget) -> bool:
+    """True when the torus decomposition never touches the low u64 word:
+    rounding adds 2^(rb-1) with rb-1 >= 32 and all digits fit 31 bits."""
+    return (
+        gadget.q == 0
+        and gadget.rounding_bits >= 33
+        and gadget.log_b * gadget.d <= 31
+    )
+
+
+def decompose_t64_u32(x_hi: jnp.ndarray, gadget: Gadget) -> jnp.ndarray:
+    """u32 fast path of `decompose_t64` for gadgets with rounding_bits >= 33:
+    the rounded shift (x + 2^(rb-1)) >> rb only reads the HIGH u64 word, so
+    the whole carry chain runs on native u32 lanes.
+
+    x_hi: the high 32 bits of the torus values. Returns (d, *shape) u32
+    digits in two's complement (|digit| <= B/2), bit-identical to the low
+    words of `decompose_t64`'s output.
+    """
+    assert decompose_t64_supports_u32(gadget)
+    log_b = gadget.log_b
+    mask = np.uint32((1 << log_b) - 1)
+    rb = gadget.rounding_bits
+    v = (x_hi.astype(jnp.uint32) + np.uint32(1 << (rb - 33))) >> np.uint32(rb - 32)
+    digits = []
+    one = np.uint32(1)
+    for _ in range(gadget.d):
+        limb = v & mask
+        v = v >> np.uint32(log_b)
+        carry = (((limb - one) | v) & limb) >> np.uint32(log_b - 1)
+        v = v + carry
+        digits.append(limb - (carry << np.uint32(log_b)))
     return jnp.stack(digits, axis=0)
 
 

@@ -39,19 +39,12 @@ def tfhe_pbs_batch_device(
     a2n: jnp.ndarray,  # (B, n) signed exponents
     b2n: jnp.ndarray,  # (B,)
 ) -> TlweCiphertext:
-    """vmap of the CMux-chain blind rotation over a ciphertext batch, fused
-    with sample-extract and key-switch. This is the flagship device step."""
-
-    def one(a, b):
-        acc = tfhe.blind_rotate(params, key, v_encoded, a, b)
-        return acc.a, acc.b
-
-    acc_a, acc_b = jax.vmap(one)(a2n, b2n)
+    """Natively batched CMux-chain blind rotation fused with sample-extract
+    and key-switch. This is the flagship device step."""
+    acc = tfhe.blind_rotate(params, key, v_encoded, a2n, b2n)
     from ..models.tfhe import tglwe, tlwe
 
-    ext = tglwe.sample_extract(
-        params.tglwe, tfhe.tglwe.TglweCiphertext(acc_a, acc_b), 0
-    )
+    ext = tglwe.sample_extract(params.tglwe, acc, 0)
     return tlwe.key_switch(params.tlwe, key.ksk, ext)
 
 
