@@ -213,6 +213,18 @@ def build_schedule(params: BootstrapParams, a: np.ndarray) -> tuple[np.ndarray, 
     Returns ops, idxs of shape (..., schedule_len) i32.
     """
     a = np.asarray(a, dtype=np.int64)
+
+    # native transcription when the host library is built (identical output,
+    # ~1000x faster on large gate batches)
+    from ...utils.native import build_schedule as native_schedule
+
+    minus_map, plus_map = params.dlog_tables
+    native = native_schedule(
+        a, minus_map, plus_map, params.n // 2, params.w, params.schedule_len
+    )
+    if native is not None:
+        return native
+
     batch = a.shape[:-1]
     if batch:
         flat = a.reshape(-1, a.shape[-1])

@@ -9,8 +9,10 @@ merging is addition.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,6 +94,16 @@ def decode(params: LweParams, pt) -> jnp.ndarray:
     return (m % jnp.int64(params.p)).astype(jnp.uint64)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _encrypt_core(params: LweParams, a, sk_q, pt, e):
+    return add_mod(add_mod(modular_dot(a, sk_q, params.q), pt, params.q), e, params.q)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _decrypt_core(params: LweParams, a, b, sk_q):
+    return sub_mod(b, modular_dot(a, sk_q, params.q), params.q)
+
+
 def sk_encrypt(
     params: LweParams, sk: np.ndarray, pt, rng: np.random.Generator
 ) -> LweCiphertext:
@@ -103,18 +115,26 @@ def sk_encrypt(
     shape = pt.shape
     a = jnp.asarray(uniform_zq(params.q, rng, (*shape, params.n)))
     e = from_i64(jnp.asarray(dg(3.2, 6, rng, shape)), params.q)
-    b = add_mod(add_mod(_dot_sk(params, a, sk), pt, params.q), e, params.q)
+    b = _encrypt_core(params, a, _sk_q(params, sk), pt, e)
     return LweCiphertext(a, b)
 
 
 def decrypt(params: LweParams, sk: np.ndarray, ct: LweCiphertext) -> jnp.ndarray:
     """pt = b - <a, sk> (`lwe.rs:142-149`)."""
-    return sub_mod(ct.b, _dot_sk(params, ct.a, sk), params.q)
+    return _decrypt_core(params, u64(ct.a), u64(ct.b), _sk_q(params, sk))
+
+
+def _sk_q(params: LweParams, sk: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(sk, dtype=np.int64) % params.q).astype(jnp.uint64)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _dot_core(q: int, a, sk_q):
+    return modular_dot(a, sk_q, q)
 
 
 def _dot_sk(params: LweParams, a: jnp.ndarray, sk: np.ndarray) -> jnp.ndarray:
-    sk_q = from_i64(jnp.asarray(sk), params.q)
-    return modular_dot(a, sk_q, params.q)
+    return _dot_core(params.q, u64(a), _sk_q(params, sk))
 
 
 # -- key switching -----------------------------------------------------------
@@ -133,6 +153,7 @@ def ksk_gen(
     return LweKeySwitchingKey(ct.a, ct.b)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def key_switch(
     params: LweParams, ksk: LweKeySwitchingKey, ct: LweCiphertext
 ) -> LweCiphertext:

@@ -14,8 +14,10 @@ Montgomery dot per output component, and 2 inverse NTTs -- the optimized
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,15 +60,20 @@ def decode(params: RgswParams, pt) -> jnp.ndarray:
     return u64(pt) % u64(params.p)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _add_powers(params: RgswParams, zeros_a, zeros_b, pt):
+    d = params.gadget.d
+    powers = jnp.moveaxis(power_up_zq(pt, params.gadget), 0, -2)  # (..., d, N)
+    a = zeros_a.at[..., :d, :].set(add_mod(zeros_a[..., :d, :], powers, params.q))
+    b = zeros_b.at[..., d:, :].set(add_mod(zeros_b[..., d:, :], powers, params.q))
+    return a, b
+
+
 def _encrypt(params: RgswParams, enc_zero, pt: jnp.ndarray) -> RgswCiphertext:
     """2d zero-encryptions + gadget powers of pt into a (rows 0..d) and b
     (rows d..2d) (`rgsw.rs:84-105`). pt: (..., N)."""
-    d = params.gadget.d
-    powers = power_up_zq(pt, params.gadget)  # (d, ..., N)
-    powers = jnp.moveaxis(powers, 0, -2)  # (..., d, N)
     zeros: RlweCiphertext = enc_zero()  # (..., 2d, N) each
-    a = zeros.a.at[..., :d, :].set(add_mod(zeros.a[..., :d, :], powers, params.q))
-    b = zeros.b.at[..., d:, :].set(add_mod(zeros.b[..., d:, :], powers, params.q))
+    a, b = _add_powers(params, zeros.a, zeros.b, pt)
     return RgswCiphertext(a, b)
 
 
@@ -106,6 +113,7 @@ def decrypt_rgsw(params: RgswParams, sk: np.ndarray, ct: RgswCiphertext) -> jnp.
     return rounded >> np.uint64(bits)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def to_eval(params: RgswParams, ct: RgswCiphertext) -> RgswEval:
     """One-time NTT (+ Shoup duals / Montgomery) for key residency."""
     if params.use_u32:

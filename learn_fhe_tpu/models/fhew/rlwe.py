@@ -9,8 +9,10 @@ Montgomery dot over the digit axis, and two inverse NTTs.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +91,13 @@ def decode(params: RlweParams, pt) -> jnp.ndarray:
     return (m % jnp.int64(params.p)).astype(jnp.uint64)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _sk_encrypt_core(params: RlweParams, a, sk_q, e, pt):
+    return add_mod(
+        add_mod(negacyclic_mul(a, sk_q, params.plan), e, params.q), pt, params.q
+    )
+
+
 def sk_encrypt(
     params: RlweParams, sk: np.ndarray, pt: jnp.ndarray, rng: np.random.Generator
 ) -> RlweCiphertext:
@@ -98,8 +107,16 @@ def sk_encrypt(
     a = jnp.asarray(uniform_zq(params.q, rng, shape))
     e = from_i64(jnp.asarray(dg(3.2, 6, rng, shape)), params.q)
     sk_q = from_i64(jnp.asarray(sk), params.q)
-    b = add_mod(add_mod(negacyclic_mul(a, sk_q, params.plan), e, params.q), pt, params.q)
-    return RlweCiphertext(a, b)
+    return RlweCiphertext(a, _sk_encrypt_core(params, a, sk_q, e, pt))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _pk_encrypt_core(params: RlweParams, pk_a, pk_b, u, e0, e1, pt):
+    a = add_mod(negacyclic_mul(pk_a, u, params.plan), e0, params.q)
+    b = add_mod(
+        add_mod(negacyclic_mul(pk_b, u, params.plan), e1, params.q), pt, params.q
+    )
+    return a, b
 
 
 def pk_encrypt(
@@ -111,14 +128,18 @@ def pk_encrypt(
     u = from_i64(jnp.asarray(zo(0.5, rng, shape)), params.q)
     e0 = from_i64(jnp.asarray(dg(3.2, 6, rng, shape)), params.q)
     e1 = from_i64(jnp.asarray(dg(3.2, 6, rng, shape)), params.q)
-    a = add_mod(negacyclic_mul(pk.a, u, params.plan), e0, params.q)
-    b = add_mod(add_mod(negacyclic_mul(pk.b, u, params.plan), e1, params.q), pt, params.q)
+    a, b = _pk_encrypt_core(params, u64(pk.a), u64(pk.b), u, e0, e1, pt)
     return RlweCiphertext(a, b)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _decrypt_core(params: RlweParams, a, b, sk_q):
+    return sub_mod(b, negacyclic_mul(a, sk_q, params.plan), params.q)
 
 
 def decrypt(params: RlweParams, sk: np.ndarray, ct: RlweCiphertext) -> jnp.ndarray:
     sk_q = from_i64(jnp.asarray(sk), params.q)
-    return sub_mod(ct.b, negacyclic_mul(ct.a, sk_q, params.plan), params.q)
+    return _decrypt_core(params, u64(ct.a), u64(ct.b), sk_q)
 
 
 # -- key switching / automorphism / extraction -------------------------------
@@ -128,6 +149,7 @@ def _to_eval_mont(params: RlweParams, x: jnp.ndarray) -> jnp.ndarray:
     return to_montgomery(ntt(x, params.plan), params.plan.zq)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def make_ksk(params: RlweParams, ct: RlweCiphertext) -> RlweKeySwitchingKey:
     """Move a coefficient-basis key ciphertext into hot-loop residency:
     u32 eval + Shoup duals when the modulus fits, else u64 eval-Montgomery."""
@@ -216,12 +238,19 @@ def _key_switch32(
     return RlweCiphertext(a, b)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _automorphism_core(
+    params: RlweParams, t: int, ksk: RlweKeySwitchingKey, ct: RlweCiphertext
+) -> RlweCiphertext:
+    ct_auto = RlweCiphertext(
+        automorphism_zq(ct.a, t, params.q), automorphism_zq(ct.b, t, params.q)
+    )
+    return key_switch(params, ksk, ct_auto)
+
+
 def automorphism(params: RlweParams, ak: RlweAutoKey, ct: RlweCiphertext) -> RlweCiphertext:
     """Map X -> X^t then switch back to sk (`rlwe.rs:188-191`)."""
-    ct_auto = RlweCiphertext(
-        automorphism_zq(ct.a, ak.t, params.q), automorphism_zq(ct.b, ak.t, params.q)
-    )
-    return key_switch(params, ak.ksk, ct_auto)
+    return _automorphism_core(params, ak.t, ak.ksk, ct)
 
 
 def sample_extract(params: RlweParams, ct: RlweCiphertext, i: int) -> LweCiphertext:

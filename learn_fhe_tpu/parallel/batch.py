@@ -86,21 +86,30 @@ def fhew_blind_rotate_batch_device(
     return ext
 
 
-def fhew_bootstrap_batch(
-    params: FhewParams, key: FhewKey, f: jnp.ndarray, cts: FhewLwe
-) -> FhewLwe:
-    """Batched Figure-2 pipeline (`fhew/bootstrapping.rs:148-155`)."""
+@partial(jax.jit, static_argnums=(0,))
+def _fhew_preamble(params: FhewParams, key: FhewKey, f: jnp.ndarray, cts: FhewLwe):
+    """Device half of the bootstrap preamble: mod-switch -> LWE key-switch ->
+    odd mod-switch -> per-ct rotated LUT. Returns the Z_2N mask (host reads it
+    to build the public schedule) and the prepared accumulators."""
     g = fhew_boot.AUTO_G
     ct = fhew_lwe.ct_mod_switch(cts, params.big_q, params.big_q_ks)
     ct = fhew_lwe.key_switch(
         params.lwe_s, LweKeySwitchingKey(key.ksk_a, key.ksk_b), ct
     )
     ct = fhew_lwe.ct_mod_switch_odd(ct, params.big_q_ks, params.q)
-    # prepare per-ct rotated LUTs and schedules (public data, host)
     f_auto = automorphism_zq(u64(f), -g, params.big_q)  # (N,)
     b_g = (jnp.asarray(ct.b, dtype=jnp.int64) * g) % (2 * params.n)  # (B,)
     f_prime = jax.vmap(lambda s: monomial_mul_zq(f_auto, s, params.big_q))(b_g)
-    ops, idxs = fhew_boot.build_schedule(params, np.asarray(ct.a))
+    return ct.a, f_prime
+
+
+def fhew_bootstrap_batch(
+    params: FhewParams, key: FhewKey, f: jnp.ndarray, cts: FhewLwe
+) -> FhewLwe:
+    """Batched Figure-2 pipeline (`fhew/bootstrapping.rs:148-155`)."""
+    ct_a, f_prime = _fhew_preamble(params, key, f, cts)
+    # schedule from the PUBLIC mask (host control flow, SURVEY.md §7.3 item 4)
+    ops, idxs = fhew_boot.build_schedule(params, np.asarray(ct_a))
     return fhew_blind_rotate_batch_device(
         params, key, f_prime, jnp.asarray(ops), jnp.asarray(idxs)
     )

@@ -12,6 +12,14 @@ import numpy as np
 
 def schoolbook_negacyclic_mul_mod(a, b, q: int) -> np.ndarray:
     """Exact negacyclic product of integer coefficient vectors mod q."""
+    if q < (1 << 63):
+        from learn_fhe_tpu.utils import native
+
+        out = native.nega_mul_zq(
+            np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64), q
+        )
+        if out is not None:
+            return out
     a = [int(x) for x in a]
     b = [int(x) for x in b]
     n = len(a)
@@ -32,6 +40,13 @@ def schoolbook_negacyclic_mul_mod(a, b, q: int) -> np.ndarray:
 
 def schoolbook_negacyclic_mul_wrap64(a, b) -> np.ndarray:
     """Exact negacyclic product of u64 torus vectors, wrapping mod 2^64."""
+    from learn_fhe_tpu.utils import native
+
+    out = native.nega_mul_t64(
+        np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64)
+    )
+    if out is not None:
+        return out
     a = [int(x) for x in a]
     b = [int(x) for x in b]
     n = len(a)
