@@ -12,10 +12,10 @@ P-part away.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, partial
 from itertools import islice
-from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,13 +95,24 @@ class CkksParams:
         return rns_plan(qs, self.n)
 
 
-class CkksCiphertext(NamedTuple):
+@partial(
+    jax.tree_util.register_dataclass, data_fields=("b", "a"), meta_fields=("qs",)
+)
+@dataclass(frozen=True)
+class CkksCiphertext:
+    """RNS ciphertext; the level metadata `qs` is static pytree aux data, so
+    jitted ops specialize per level with no tracing of the basis."""
+
     b: jnp.ndarray  # (L, N)
     a: jnp.ndarray  # (L, N)
     qs: tuple  # static level metadata
 
 
-class CkksKeySwitchingKey(NamedTuple):
+@partial(
+    jax.tree_util.register_dataclass, data_fields=("b", "a"), meta_fields=("qs",)
+)
+@dataclass(frozen=True)
+class CkksKeySwitchingKey:
     """Ciphertext over the full QP basis encrypting P * sk'."""
 
     b: jnp.ndarray  # (2L, N)
@@ -109,9 +120,13 @@ class CkksKeySwitchingKey(NamedTuple):
     qs: tuple
 
 
-class CkksRotKey(NamedTuple):
-    j: int
+@partial(
+    jax.tree_util.register_dataclass, data_fields=("ksk",), meta_fields=("j",)
+)
+@dataclass(frozen=True)
+class CkksRotKey:
     ksk: CkksKeySwitchingKey
+    j: int
 
 
 def to_level(ct: CkksCiphertext, qs: tuple) -> CkksCiphertext:
@@ -129,6 +144,7 @@ def _align(ct0: CkksCiphertext, ct1: CkksCiphertext):
     return to_level(ct0, qs), to_level(ct1, qs), qs
 
 
+@jax.jit
 def add(ct0: CkksCiphertext, ct1: CkksCiphertext) -> CkksCiphertext:
     ct0, ct1, qs = _align(ct0, ct1)
     plan = rns_plan(qs, ct0.b.shape[-1])
@@ -137,6 +153,7 @@ def add(ct0: CkksCiphertext, ct1: CkksCiphertext) -> CkksCiphertext:
     )
 
 
+@jax.jit
 def sub(ct0: CkksCiphertext, ct1: CkksCiphertext) -> CkksCiphertext:
     ct0, ct1, qs = _align(ct0, ct1)
     plan = rns_plan(qs, ct0.b.shape[-1])
@@ -206,7 +223,7 @@ def rtk_gen(params: CkksParams, sk: np.ndarray, j: int, rng) -> CkksRotKey:
     assert j != 0
     j = j % params.l
     sk_rot = _automorphism_i64(sk, params.pow5(j))
-    return CkksRotKey(j, ksk_gen(params, sk, sk_rot, rng))
+    return CkksRotKey(ksk_gen(params, sk, sk_rot, rng), j)
 
 
 # -- encode / decode (host, double-double; `ckks.rs:186-213`) ------------------
@@ -245,14 +262,21 @@ def sk_encrypt(
     rng: np.random.Generator,
 ) -> CkksCiphertext:
     """b = -(a*sk) + e + pt (`ckks.rs:215-225`)."""
-    plan = params.plan(qs)
     a = jnp.asarray(
         np.stack([uniform_zq(q, rng, params.n) for q in qs])
     )
-    e = rns_from_i64(jnp.asarray(dg(3.2, 6, rng, params.n)), plan)
-    sk_rns = rns_from_i64(jnp.asarray(sk), plan)
-    b = rns_add(rns_add(rns_neg(rns_mul(a, sk_rns, plan), plan), e, plan), pt, plan)
+    e_i64 = jnp.asarray(dg(3.2, 6, rng, params.n))
+    sk_i64 = jnp.asarray(np.asarray(sk, dtype=np.int64))
+    b = _sk_encrypt_core(qs, a, e_i64, sk_i64, pt)
     return CkksCiphertext(b, a, qs)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sk_encrypt_core(qs: tuple, a, e_i64, sk_i64, pt):
+    plan = rns_plan(qs, a.shape[-1])
+    e = rns_from_i64(e_i64, plan)
+    sk_rns = rns_from_i64(sk_i64, plan)
+    return rns_add(rns_add(rns_neg(rns_mul(a, sk_rns, plan), plan), e, plan), pt, plan)
 
 
 def pk_encrypt(
@@ -269,30 +293,42 @@ def pk_encrypt(
     return CkksCiphertext(b, a, qs)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _decrypt_core(params: CkksParams, ct: CkksCiphertext, sk_i64):
+    plan = params.plan(ct.qs)
+    sk_rns = rns_from_i64(sk_i64, plan)
+    return rns_add(ct.b, rns_mul(ct.a, sk_rns, plan), plan)
+
+
 def decrypt(params: CkksParams, sk: np.ndarray, ct: CkksCiphertext) -> jnp.ndarray:
     """pt = b + a*sk (`ckks.rs:241-248`)."""
-    plan = params.plan(ct.qs)
-    sk_rns = rns_from_i64(jnp.asarray(sk), plan)
-    return rns_add(ct.b, rns_mul(ct.a, sk_rns, plan), plan)
+    return _decrypt_core(params, ct, jnp.asarray(np.asarray(sk, dtype=np.int64)))
 
 
 # -- homomorphic ops ------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnums=(1,))
 def rescale_ct(ct: CkksCiphertext, k: int = 1) -> CkksCiphertext:
     return CkksCiphertext(
         rescale_k(ct.b, ct.qs, k), rescale_k(ct.a, ct.qs, k), ct.qs[:-k]
     )
 
 
-def mul_constant(params: CkksParams, m, ct: CkksCiphertext) -> CkksCiphertext:
-    """encode(m) * ct, then rescale (`ckks.rs:250-253`)."""
-    pt = encode(params, m, ct.qs)
+@partial(jax.jit, static_argnums=(0,))
+def _mul_pt(params: CkksParams, pt: jnp.ndarray, ct: CkksCiphertext) -> CkksCiphertext:
     plan = params.plan(ct.qs)
     out = CkksCiphertext(rns_mul(pt, ct.b, plan), rns_mul(pt, ct.a, plan), ct.qs)
     return rescale_ct(out)
 
 
+def mul_constant(params: CkksParams, m, ct: CkksCiphertext) -> CkksCiphertext:
+    """encode(m) * ct, then rescale (`ckks.rs:250-253`)."""
+    pt = encode(params, m, ct.qs)  # host (double-double sifft)
+    return _mul_pt(params, pt, ct)
+
+
+@partial(jax.jit, static_argnums=(0,))
 def mul(
     params: CkksParams, rlk: CkksKeySwitchingKey, ct0: CkksCiphertext, ct1: CkksCiphertext
 ) -> CkksCiphertext:
@@ -317,6 +353,7 @@ def _automorphism_rns(x: jnp.ndarray, t: int, qs: tuple) -> jnp.ndarray:
     return jnp.where(jnp.asarray(sign), neg_mod_v(g, q_arr), g)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def conjugate(
     params: CkksParams, cjk: CkksKeySwitchingKey, ct: CkksCiphertext
 ) -> CkksCiphertext:
@@ -326,6 +363,7 @@ def conjugate(
     return key_switch(params, cjk, ct_conj)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def rotate(params: CkksParams, rtk: CkksRotKey, ct: CkksCiphertext) -> CkksCiphertext:
     t = params.pow5(rtk.j)
     ct_rot = CkksCiphertext(
@@ -334,6 +372,7 @@ def rotate(params: CkksParams, rtk: CkksRotKey, ct: CkksCiphertext) -> CkksCiphe
     return key_switch(params, rtk.ksk, ct_rot)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def key_switch(
     params: CkksParams, ksk: CkksKeySwitchingKey, ct: CkksCiphertext
 ) -> CkksCiphertext:
