@@ -143,3 +143,36 @@ def test_homomorphic_sfft(ckks_env):
     ct2 = B.coeff_to_slot(bk, ct1)
     m2 = sifft(DDC.from_complex(m1)).to_complex128()[rev]
     assert_bits(m2, C.decode(params, C.decrypt(params, sk, ct2), ct2.qs), 30)
+
+
+def test_homomorphic_horner(rng):
+    """Evaluate p(x) = 1 + 2x + x^2 homomorphically via the generic horner
+    helper (the reference exercises horner/powers over ciphertexts in its
+    CKKS tests; `util/src/misc.rs:19-27`)."""
+    from learn_fhe_tpu.models.ckks import ckks as C
+    from learn_fhe_tpu.utils.misc import horner, powers
+
+    params = C.CkksParams(log_n=5, log_qi=45, big_l=5)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 0.5
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+
+    coeffs = [1.0, 2.0, 1.0]
+    out = horner(
+        coeffs,
+        ct,
+        mul=lambda x, acc: C.mul(params, rlk, x, acc) if isinstance(acc, C.CkksCiphertext) else C.mul_constant(params, np.full(params.l, acc), x),
+        add=lambda acc, c: C.add(acc, C.sk_encrypt(params, sk, C.encode(params, np.full(params.l, complex(c)), acc.qs), acc.qs, rng)) if not isinstance(c, C.CkksCiphertext) else C.add(acc, c),
+    )
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    want = 1 + 2 * m + m * m
+    assert np.max(np.abs(got - want)) < 1e-6
+
+    # powers stream: ct, ct^2, ct^3 decrypt to m, m^2, m^3
+    from itertools import islice
+
+    pws = list(islice(powers(ct, lambda a, b: C.mul(params, rlk, a, b)), 3))
+    for k, p in enumerate(pws, start=1):
+        gotk = C.decode(params, C.decrypt(params, sk, p), p.qs)
+        assert np.max(np.abs(gotk - m**k)) < 1e-5, k
