@@ -77,17 +77,20 @@ def mulhi32(a: jnp.ndarray, b) -> jnp.ndarray:
 
 
 def add_mod32(a, b, q: int) -> jnp.ndarray:
-    """(a + b) mod q, inputs reduced; q < 2^31 so the u32 sum cannot wrap."""
+    """(a + b) mod q, inputs reduced; q < 2^31 so the u32 sum cannot wrap.
+
+    min-trick: if s >= q then s-q < s, else s-q wraps above 2^31 > s, so
+    min(s, s-q) is the reduced value in ONE vector op instead of cmp+select.
+    """
     s = u32(a) + u32(b)
-    qq = np.uint32(q)
-    return jnp.where(s >= qq, s - qq, s)
+    return jnp.minimum(s, s - np.uint32(q))
 
 
 def sub_mod32(a, b, q: int) -> jnp.ndarray:
-    a = u32(a)
-    b = u32(b)
-    d = a - b
-    return jnp.where(a >= b, d, d + np.uint32(q))
+    """(a - b) mod q via the min-trick: the unwrapped candidate is the
+    smaller of d and d+q when both are viewed as u32."""
+    d = u32(a) - u32(b)
+    return jnp.minimum(d, d + np.uint32(q))
 
 
 def neg_mod32(a, q: int) -> jnp.ndarray:
@@ -104,8 +107,7 @@ def mul_shoup32(a, w, w_shoup, q: int) -> jnp.ndarray:
     a = u32(a)
     hi = mulhi32(a, w_shoup)
     r = a * u32(w) - hi * np.uint32(q)
-    qq = np.uint32(q)
-    return jnp.where(r >= qq, r - qq, r)
+    return jnp.minimum(r, r - np.uint32(q))
 
 
 def mul_shoup32_lazy(a, w, w_shoup, q: int) -> jnp.ndarray:
@@ -129,10 +131,10 @@ def mul_mod32(a, b, zq: Zq32Params) -> jnp.ndarray:
     b = u32(b)
     qq = np.uint32(zq.q)
     t = _redc32(mulhi32(a, b), a * b, zq.q, zq.neg_q_inv)
-    t = jnp.where(t >= qq, t - qq, t)
+    t = jnp.minimum(t, t - qq)
     r2 = np.uint32(zq.r2)
     out = _redc32(mulhi32(t, r2), t * r2, zq.q, zq.neg_q_inv)
-    return jnp.where(out >= qq, out - qq, out)
+    return jnp.minimum(out, out - qq)
 
 
 def to_montgomery32(a, zq: Zq32Params) -> jnp.ndarray:
@@ -140,8 +142,7 @@ def to_montgomery32(a, zq: Zq32Params) -> jnp.ndarray:
     a = u32(a)
     r2 = np.uint32(zq.r2)
     t = _redc32(mulhi32(a, r2), a * r2, zq.q, zq.neg_q_inv)
-    qq = np.uint32(zq.q)
-    return jnp.where(t >= qq, t - qq, t)
+    return jnp.minimum(t, t - np.uint32(zq.q))
 
 
 def mont_mul32(a_mont, b, zq: Zq32Params) -> jnp.ndarray:
@@ -149,8 +150,7 @@ def mont_mul32(a_mont, b, zq: Zq32Params) -> jnp.ndarray:
     a = u32(a_mont)
     b = u32(b)
     t = _redc32(mulhi32(a, b), a * b, zq.q, zq.neg_q_inv)
-    qq = np.uint32(zq.q)
-    return jnp.where(t >= qq, t - qq, t)
+    return jnp.minimum(t, t - np.uint32(zq.q))
 
 
 def barrett_reduce_u32(a, q: int) -> jnp.ndarray:
@@ -159,8 +159,8 @@ def barrett_reduce_u32(a, q: int) -> jnp.ndarray:
     hi = mulhi32(u32(a), np.uint32(m))
     r = u32(a) - hi * np.uint32(q)
     qq = np.uint32(q)
-    r = jnp.where(r >= qq, r - qq, r)
-    return jnp.where(r >= qq, r - qq, r)
+    r = jnp.minimum(r, r - qq)
+    return jnp.minimum(r, r - qq)
 
 
 def sum_mod32(x: jnp.ndarray, q: int, axis: int = 0) -> jnp.ndarray:
