@@ -8,7 +8,9 @@ chip under the driver), and prints ONE JSON line.
 Baseline: BASELINE.json's north star is >= 1000 PBS/sec on a v5e-8,
 i.e. 125 PBS/sec/chip.
 
-Usage: python bench.py [--batch B] [--iters K] [--smoke]
+Usage: python bench.py [--batch B] [--iters K] [--smoke] [--metric tfhe|fhew]
+(the driver contract line is the TFHE PBS metric; --metric fhew benches the
+FHEW NAND gate bootstrap at its reference fixture instead)
 """
 
 from __future__ import annotations
@@ -29,7 +31,11 @@ def main():
     ap.add_argument(
         "--smoke", action="store_true", help="tiny params on CPU for a fast check"
     )
+    ap.add_argument("--metric", choices=["tfhe", "fhew"], default="tfhe")
     args = ap.parse_args()
+
+    if args.metric == "fhew":
+        return bench_fhew(args)
 
     import jax
 
@@ -122,6 +128,78 @@ def main():
         f"# params N={params.big_n} n={params.tlwe.n} batch={B} iters={args.iters} "
         f"keygen={keygen_s:.1f}s compile={compile_s:.1f}s steady={dt:.2f}s "
         f"device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+def bench_fhew(args):
+    """FHEW NAND gate bootstraps/sec at the reference fixture
+    (`boolean.rs:225-239` shape: q~2^28 NTT prime, N=2^9, B=2^7, d=4,
+    LWE n=100 q=2^16, window w=10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.models.fhew import (
+        BootstrapParams,
+        LweParams,
+        RgswParams,
+        RlweParams,
+        bootstrapping as boot,
+        lwe,
+        rlwe,
+    )
+    from learn_fhe_tpu.parallel.batch import fhew_gate_batch
+    from learn_fhe_tpu.utils.primes import two_adic_primes
+
+    rng = np.random.default_rng(0)
+    q = next(two_adic_primes(28, 10))
+    params = BootstrapParams(
+        RgswParams(RlweParams(q=q, p=4, log_n=9, log_b=7, d=4), log_b=7, d=4),
+        LweParams(q=1 << 16, p=4, n=100, log_b=4, d=4),
+        w=10,
+    )
+    zsk = rlwe.sk_gen(params.rlwe, rng)
+    t0 = time.time()
+    key = boot.key_gen(params, zsk, rng)
+    jax.block_until_ready(key.brk_a)
+    keygen_s = time.time() - t0
+
+    B = args.batch
+    m0 = rng.integers(0, 2, size=B)
+    m1 = rng.integers(0, 2, size=B)
+    lz = params.lwe_z
+    c0 = lwe.sk_encrypt(lz, np.asarray(zsk), lwe.encode(lz, jnp.asarray(m0.astype(np.uint64))), rng)
+    c1 = lwe.sk_encrypt(lz, np.asarray(zsk), lwe.encode(lz, jnp.asarray(m1.astype(np.uint64))), rng)
+
+    t0 = time.time()
+    out = fhew_gate_batch(params, key, "nand", c0, c1)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    got = np.asarray(lwe.decode(lz, lwe.decrypt(lz, np.asarray(zsk), out)))
+    want = (~(m0.astype(bool) & m1.astype(bool))).astype(int)
+    assert np.array_equal((got == 1).astype(int), want), "gate output wrong"
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = fhew_gate_batch(params, key, "nand", c0, c1)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    gps = B * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fhew_nand_gates_per_sec_per_chip",
+                "value": round(gps, 3),
+                "unit": "gates/s",
+                "vs_baseline": round(gps / PER_CHIP_BASELINE, 4),
+            }
+        )
+    )
+    import sys
+
+    print(
+        f"# fhew q={q} N=512 n=100 batch={B} keygen={keygen_s:.1f}s "
+        f"compile={compile_s:.1f}s steady={dt:.2f}s device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

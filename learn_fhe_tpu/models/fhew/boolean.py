@@ -102,24 +102,42 @@ class FhewBool:
         return self._gate("majority", o1, o2)
 
     # -- derived circuits (`boolean.rs:135-176`) ------------------------------
+    # Same gate compositions as the reference; independent gates within a
+    # circuit run as ONE batched bootstrap (gate_many).
 
     def select(self, f: "FhewBool", t: "FhewBool") -> "FhewBool":
-        return (~self & f) | (self & t)
+        nf, st = gate_many([("and", ~self, f), ("and", self, t)])
+        return nf | st
 
     def overflowing_add(self, rhs: "FhewBool") -> tuple["FhewBool", "FhewBool"]:
-        return self ^ rhs, self & rhs
+        s, c = gate_many([("xor", self, rhs), ("and", self, rhs)])
+        return s, c
 
     def carrying_add(
         self, rhs: "FhewBool", carry: "FhewBool"
     ) -> tuple["FhewBool", "FhewBool"]:
-        t = self ^ rhs
-        return t ^ carry, (self & rhs) | (t & carry)
+        t, g1 = gate_many([("xor", self, rhs), ("and", self, rhs)])
+        s, g2 = gate_many([("xor", t, carry), ("and", t, carry)])
+        return s, g1 | g2
 
     def overflowing_sub(self, rhs: "FhewBool") -> tuple["FhewBool", "FhewBool"]:
-        return self ^ rhs, ~self & rhs
+        d, b = gate_many([("xor", self, rhs), ("and", ~self, rhs)])
+        return d, b
 
     def borrowing_sub(
         self, rhs: "FhewBool", borrow: "FhewBool"
     ) -> tuple["FhewBool", "FhewBool"]:
-        t = self ^ rhs
-        return t ^ borrow, (~self & rhs) | (~t & borrow)
+        t, g1 = gate_many([("xor", self, rhs), ("and", ~self, rhs)])
+        d, g2 = gate_many([("xor", t, borrow), ("and", ~t, borrow)])
+        return d, g1 | g2
+
+
+def gate_many(ops: list[tuple]) -> list["FhewBool"]:
+    """Evaluate independent gates in ONE batched bootstrap.
+
+    ops: [(name, FhewBool...), ...]. All inputs must share params/key.
+    """
+    first = ops[0][1]
+    specs = [(name, *(b.ct for b in bs)) for name, *bs in ops]
+    outs = gates.gate_batch(first.params, first.key, specs)
+    return [FhewBool(ct, first.params, first.key) for ct in outs]

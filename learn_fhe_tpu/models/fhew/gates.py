@@ -117,3 +117,45 @@ def xnor(p, k, a, b):
 
 def majority(p, k, a, b, c):
     return gate(p, k, "majority", a, b, c)
+
+
+def gate_batch(
+    params: BootstrapParams,
+    key: BootstrapKey,
+    specs: list[tuple],
+) -> list[LweCiphertext]:
+    """Evaluate a heterogeneous list of gates with ONE batched bootstrap.
+
+    specs: [(name, ct0, ct1[, ct2]), ...] — the linear combines are cheap LWE
+    ops; the expensive LUT bootstrap runs once over the stacked batch with
+    per-gate LUT polynomials. Circuit semantics are identical to evaluating
+    `gate` per spec (`fhew.rs:31-39` per element).
+    """
+    import jax.numpy as jnp
+
+    if len(specs) == 1:
+        return [gate(params, key, *specs[0])]
+    from ...parallel.batch import fhew_bootstrap_batch
+
+    # pad to the next power of two so the jit cache sees few distinct batch
+    # shapes (padding re-evaluates spec[0]; outputs are dropped)
+    n_real = len(specs)
+    n_pad = 1 << (n_real - 1).bit_length()
+    specs = list(specs) + [specs[0]] * (n_pad - n_real)
+
+    lins, luts = [], []
+    for spec in specs:
+        name, cts = spec[0], spec[1:]
+        if name == "majority":
+            assert len(cts) == 3
+            lin = lwe.add(params.lwe_z, lwe.add(params.lwe_z, cts[0], cts[1]), cts[2])
+        else:
+            lin = _lin2(params, name, cts[0], cts[1])
+        lins.append(lin)
+        luts.append(lut_poly(params, GATE_TABLES[name]))
+    batched = LweCiphertext(
+        jnp.stack([l.a for l in lins]), jnp.stack([l.b for l in lins])
+    )
+    out = fhew_bootstrap_batch(params, key, jnp.stack(luts), batched)
+    b = add_mod(out.b, u64(params.big_q_by_8), params.big_q)
+    return [LweCiphertext(out.a[i], b[i]) for i in range(n_real)]

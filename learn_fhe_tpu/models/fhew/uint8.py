@@ -116,12 +116,27 @@ class FhewU8:
         return self.overflowing_sub(rhs)[0]
 
     def wrapping_mul(self, rhs: "FhewU8") -> "FhewU8":
-        """Schoolbook product keeping only the low 8 bits (`uint8.rs:119-131`)."""
+        """Schoolbook product keeping only the low 8 bits (`uint8.rs:119-131`).
+
+        All 36 partial-product ANDs are independent, so they run as ONE
+        batched bootstrap before the carry-propagating accumulation."""
+        from .boolean import gate_many
+
         lhs, rhs_b = self.bits, rhs.bits
+        pp_specs = [
+            ("and", lhs[j], rhs_b[i - j]) for i in range(8) for j in range(i + 1)
+        ]
+        pp_flat = gate_many(pp_specs)
+        pps: list[list[FhewBool]] = []
+        pos = 0
+        for i in range(8):
+            pps.append(pp_flat[pos : pos + i + 1])
+            pos += i + 1
+
         carries: list[FhewBool | None] = [None] * 7
         product = []
         for i in range(8):
-            terms = [lhs[j] & rhs_b[i - j] for j in range(i + 1)]
+            terms = pps[i]
             acc = terms[0]
             for k, t in enumerate(terms[1:]):
                 if carries[k] is None:
@@ -147,7 +162,17 @@ class FhewU8:
                     d[j], carry = d[j].carrying_add(neg_rhs[j], carry)
                 else:
                     carry = carry & neg_rhs[j]
-            r = [carry.select(ri, di) for ri, di in zip(r, d)]
+            # batched select row: all 2*len(r) ANDs in one bootstrap
+            from .boolean import gate_many
+
+            not_carry = ~carry
+            flat = gate_many(
+                [("and", not_carry, ri) for ri in r] + [("and", carry, di) for di in d]
+            )
+            ors = gate_many(
+                [("or", flat[t], flat[len(r) + t]) for t in range(len(r))]
+            )
+            r = list(ors)
             q.insert(0, carry)
         return FhewU8(q), FhewU8(r)
 

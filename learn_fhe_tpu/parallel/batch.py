@@ -90,16 +90,24 @@ def fhew_blind_rotate_batch_device(
 def _fhew_preamble(params: FhewParams, key: FhewKey, f: jnp.ndarray, cts: FhewLwe):
     """Device half of the bootstrap preamble: mod-switch -> LWE key-switch ->
     odd mod-switch -> per-ct rotated LUT. Returns the Z_2N mask (host reads it
-    to build the public schedule) and the prepared accumulators."""
+    to build the public schedule) and the prepared accumulators.
+
+    f may be a single LUT poly (N,) shared by the batch, or per-ciphertext
+    LUTs (B, N) — mixed-gate batching uses the latter."""
     g = fhew_boot.AUTO_G
     ct = fhew_lwe.ct_mod_switch(cts, params.big_q, params.big_q_ks)
     ct = fhew_lwe.key_switch(
         params.lwe_s, LweKeySwitchingKey(key.ksk_a, key.ksk_b), ct
     )
     ct = fhew_lwe.ct_mod_switch_odd(ct, params.big_q_ks, params.q)
-    f_auto = automorphism_zq(u64(f), -g, params.big_q)  # (N,)
+    f_auto = automorphism_zq(u64(f), -g, params.big_q)  # (N,) or (B, N)
     b_g = (jnp.asarray(ct.b, dtype=jnp.int64) * g) % (2 * params.n)  # (B,)
-    f_prime = jax.vmap(lambda s: monomial_mul_zq(f_auto, s, params.big_q))(b_g)
+    if f_auto.ndim == 1:
+        f_prime = jax.vmap(lambda s: monomial_mul_zq(f_auto, s, params.big_q))(b_g)
+    else:
+        f_prime = jax.vmap(
+            lambda row, s: monomial_mul_zq(row, s, params.big_q)
+        )(f_auto, b_g)
     return ct.a, f_prime
 
 

@@ -126,8 +126,71 @@ def test_serialization_roundtrip(tfhe_env, tmp_path):
     path = str(tmp_path / "key.npz")
     ser.save(path, bk=bk)
     loaded = ser.load(path)["bk"]
-    flat0 = jax.tree.leaves(bk)
-    flat1 = jax.tree.leaves(loaded)
-    assert len(flat0) == len(flat1)
-    for a, b in zip(flat0, flat1):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # compare BY PATH (a dict reconstruction orders leaves alphabetically,
+    # NamedTuples by field order)
+    paths0 = {
+        jax.tree_util.keystr(kp): np.asarray(leaf)
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(bk)[0]
+    }
+
+    def walk(node, prefix, out):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}", out)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}.{i}", out)
+        else:
+            out[prefix] = np.asarray(node)
+
+    paths1: dict[str, np.ndarray] = {}
+    walk(loaded, "", paths1)
+    assert len(paths0) == len(paths1)
+    # normalize: NamedTuple paths look like '.brk.av[0]', dict like "['brk']['av']['0']"
+    norm = lambda s: s.replace("['", ".").replace("']", "").replace("[", ".").replace("]", "").lstrip(".")
+    n0 = {norm(k): v for k, v in paths0.items()}
+    n1 = {norm(k): v for k, v in paths1.items()}
+    assert set(n0) == set(n1), (sorted(n0)[:5], sorted(n1)[:5])
+    for k in n0:
+        np.testing.assert_array_equal(n0[k], n1[k], err_msg=k)
+
+
+def test_multiparty_psum_merge(rng):
+    """Share merge over a sharded 'party' mesh axis equals the sequential
+    fold the scheme modules use."""
+    from learn_fhe_tpu.parallel.multiparty import merge_shares, party_mesh, shard_parties
+    from learn_fhe_tpu.ops.modular import add_mod
+
+    q = (1 << 55) + 3 * 4096 + 1
+    P_ = 8
+    shares = rng.integers(0, q, size=(P_, 4, 32), dtype=np.uint64)
+    mesh = party_mesh(P_)
+    got = np.asarray(merge_shares(mesh, shard_parties(mesh, jnp.asarray(shares)), q))
+    want = shares[0]
+    for s in shares[1:]:
+        want = np.asarray(add_mod(jnp.asarray(want), jnp.asarray(s), q))
+    assert np.array_equal(got, want)
+
+
+def test_multiparty_merge_matches_lwe_ksk_merge(rng):
+    """End-to-end: FHEW LWE ksk share merge done via the mesh collective
+    decrypts identically to the sequential module path."""
+    from learn_fhe_tpu.models.fhew import lwe
+    from learn_fhe_tpu.models.fhew.params import LweParams
+    from learn_fhe_tpu.parallel.multiparty import merge_shares, party_mesh, shard_parties
+    from learn_fhe_tpu.utils.distributions import uniform_zq
+
+    params = LweParams(q=1 << 16, p=4, n=24, log_b=4, d=4)
+    n_parties = 4
+    sks = [lwe.sk_gen(params, rng) for _ in range(n_parties)]
+    sk1 = np.concatenate([np.asarray(s) for s in sks])[:32]  # arbitrary source key
+    crs_a = jnp.asarray(uniform_zq(params.q, rng, (params.gadget.d, 32, params.n)))
+    shares = [
+        lwe.ksk_share_gen(params, crs_a, sks[p], sk1, rng) for p in range(n_parties)
+    ]
+    want = lwe.ksk_share_merge(params, crs_a, iter(shares))
+    mesh = party_mesh(n_parties)
+    stacked = jnp.stack([jnp.asarray(s) for s in shares])
+    got_b = merge_shares(mesh, shard_parties(mesh, stacked), params.q)
+    assert np.array_equal(np.asarray(got_b), np.asarray(want.b))
