@@ -89,25 +89,101 @@ def ntt_plan(q: int, n: int) -> NttPlan:
     )
 
 
+def _r2_fwd(out, batch, n, q, plan, layer):
+    m = 1 << layer
+    half = n >> (layer + 1)
+    x = out.reshape(*batch, m, 2, half)
+    u, v = x[..., 0, :], x[..., 1, :]
+    t = plan.psi_br[m : 2 * m][:, None]
+    ts = plan.psi_br_shoup[m : 2 * m][:, None]
+    tv = mul_shoup(v, t, ts, q)
+    return jnp.stack(
+        [_add_mod(u, tv, q), _sub_mod_c(u, tv, q)], axis=-2
+    ).reshape(*batch, n)
+
+
+def _r4_fwd(out, batch, n, q, plan, layer):
+    """Two DIT layers fused in one memory pass (the pipelines are HBM-bound;
+    see ops/ntt32.py for the measured schedule choice)."""
+    m = 1 << layer
+    quarter = n >> (layer + 2)
+    x = out.reshape(*batch, m, 4, quarter)
+    x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
+    w1 = plan.psi_br[m : 2 * m][:, None]
+    w1s = plan.psi_br_shoup[m : 2 * m][:, None]
+    w2 = plan.psi_br[2 * m : 4 * m].reshape(m, 2)
+    w2s = plan.psi_br_shoup[2 * m : 4 * m].reshape(m, 2)
+    t2 = mul_shoup(x2, w1, w1s, q)
+    t3 = mul_shoup(x3, w1, w1s, q)
+    a0 = _add_mod(x0, t2, q)
+    a1 = _add_mod(x1, t3, q)
+    b0 = _sub_mod_c(x0, t2, q)
+    b1 = _sub_mod_c(x1, t3, q)
+    u1 = mul_shoup(a1, w2[:, 0:1], w2s[:, 0:1], q)
+    u3 = mul_shoup(b1, w2[:, 1:2], w2s[:, 1:2], q)
+    return jnp.stack(
+        [
+            _add_mod(a0, u1, q),
+            _sub_mod_c(a0, u1, q),
+            _add_mod(b0, u3, q),
+            _sub_mod_c(b0, u3, q),
+        ],
+        axis=-2,
+    ).reshape(*batch, n)
+
+
 def ntt(a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
-    """Forward negacyclic NTT over the last axis: normal -> bit-reversed order."""
+    """Forward negacyclic NTT over the last axis: normal -> bit-reversed order;
+    radix-4 fused passes (ops/ntt32.py documents the measurement)."""
     n, q = plan.n, plan.q
     if n == 1:
         return u64(a)
     batch = a.shape[:-1]
     out = u64(a)
-    for layer in range(plan.log_n):
-        m = 1 << layer
-        half = n >> (layer + 1)
-        x = out.reshape(*batch, m, 2, half)
-        u, v = x[..., 0, :], x[..., 1, :]
-        t = jnp.asarray(plan.psi_br[m : 2 * m])[:, None]
-        ts = jnp.asarray(plan.psi_br_shoup[m : 2 * m])[:, None]
-        tv = mul_shoup(v, t, ts, q)
-        out = jnp.stack(
-            [_add_mod(u, tv, q), _sub_mod_c(u, tv, q)], axis=-2
-        ).reshape(*batch, n)
+    layer = 0
+    if plan.log_n % 2:
+        out = _r2_fwd(out, batch, n, q, plan, 0)
+        layer = 1
+    while layer < plan.log_n:
+        out = _r4_fwd(out, batch, n, q, plan, layer)
+        layer += 2
     return out
+
+
+def _r2_inv(out, batch, n, q, plan, layer):
+    m = 1 << layer
+    half = n >> (layer + 1)
+    x = out.reshape(*batch, m, 2, half)
+    u, v = x[..., 0, :], x[..., 1, :]
+    t = plan.psi_inv_br[m : 2 * m][:, None]
+    ts = plan.psi_inv_br_shoup[m : 2 * m][:, None]
+    s = _add_mod(u, v, q)
+    d = mul_shoup(_sub_mod_c(u, v, q), t, ts, q)
+    return jnp.stack([s, d], axis=-2).reshape(*batch, n)
+
+
+def _r4_inv(out, batch, n, q, plan, layer):
+    m = 1 << layer
+    quarter = n >> (layer + 2)
+    x = out.reshape(*batch, m, 4, quarter)
+    x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
+    wi1 = plan.psi_inv_br[m : 2 * m][:, None]
+    wi1s = plan.psi_inv_br_shoup[m : 2 * m][:, None]
+    wi2 = plan.psi_inv_br[2 * m : 4 * m].reshape(m, 2)
+    wi2s = plan.psi_inv_br_shoup[2 * m : 4 * m].reshape(m, 2)
+    a0 = _add_mod(x0, x1, q)
+    a1 = mul_shoup(_sub_mod_c(x0, x1, q), wi2[:, 0:1], wi2s[:, 0:1], q)
+    b0 = _add_mod(x2, x3, q)
+    b1 = mul_shoup(_sub_mod_c(x2, x3, q), wi2[:, 1:2], wi2s[:, 1:2], q)
+    return jnp.stack(
+        [
+            _add_mod(a0, b0, q),
+            _add_mod(a1, b1, q),
+            mul_shoup(_sub_mod_c(a0, b0, q), wi1, wi1s, q),
+            mul_shoup(_sub_mod_c(a1, b1, q), wi1, wi1s, q),
+        ],
+        axis=-2,
+    ).reshape(*batch, n)
 
 
 def intt(a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
@@ -117,16 +193,12 @@ def intt(a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
         return u64(a)
     batch = a.shape[:-1]
     out = u64(a)
-    for layer in reversed(range(plan.log_n)):
-        m = 1 << layer
-        half = n >> (layer + 1)
-        x = out.reshape(*batch, m, 2, half)
-        u, v = x[..., 0, :], x[..., 1, :]
-        t = jnp.asarray(plan.psi_inv_br[m : 2 * m])[:, None]
-        ts = jnp.asarray(plan.psi_inv_br_shoup[m : 2 * m])[:, None]
-        s = _add_mod(u, v, q)
-        d = mul_shoup(_sub_mod_c(u, v, q), t, ts, q)
-        out = jnp.stack([s, d], axis=-2).reshape(*batch, n)
+    layer = plan.log_n - 2
+    while layer >= (1 if plan.log_n % 2 else 0):
+        out = _r4_inv(out, batch, n, q, plan, layer)
+        layer -= 2
+    if plan.log_n % 2:
+        out = _r2_inv(out, batch, n, q, plan, 0)
     return mul_shoup(out, u64(plan.n_inv), u64(plan.n_inv_shoup), q)
 
 

@@ -123,25 +123,64 @@ def rns_plan(qs: tuple[int, ...], n: int) -> RnsPlan:
 
 
 def rns_ntt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
-    """Forward NTT over the trailing axis, batched over (..., L)."""
+    """Forward NTT over the trailing axis, batched over (..., L); radix-4
+    fused passes (two layers per memory pass — the pipelines are HBM-bound,
+    measurement in ops/ntt32.py)."""
     n = plan.n
     if n == 1:
         return u64(a)
     batch = a.shape[:-1]
     out = u64(a)
     q = jnp.asarray(plan.q_arr)  # (L, 1)
-    for layer in range(plan.log_n):
+
+    def r2(out, layer):
         m = 1 << layer
         half = n >> (layer + 1)
         x = out.reshape(*batch, m, 2, half)
         uu, vv = x[..., 0, :], x[..., 1, :]
-        t = jnp.asarray(plan.psi_br[:, m : 2 * m])[:, :, None]
-        ts = jnp.asarray(plan.psi_br_shoup[:, m : 2 * m])[:, :, None]
+        t = plan.psi_br[:, m : 2 * m][:, :, None]
+        ts = plan.psi_br_shoup[:, m : 2 * m][:, :, None]
         qq = q[:, None, :]
         tv = mul_shoup_v(vv, t, ts, qq)
-        out = jnp.stack(
+        return jnp.stack(
             [add_mod_v(uu, tv, qq), sub_mod_v(uu, tv, qq)], axis=-2
         ).reshape(*batch, n)
+
+    def r4(out, layer):
+        m = 1 << layer
+        quarter = n >> (layer + 2)
+        x = out.reshape(*batch, m, 4, quarter)
+        x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
+        qq = q[:, None, :]
+        w1 = plan.psi_br[:, m : 2 * m][:, :, None]
+        w1s = plan.psi_br_shoup[:, m : 2 * m][:, :, None]
+        w2 = plan.psi_br[:, 2 * m : 4 * m].reshape(-1, m, 2)
+        w2s = plan.psi_br_shoup[:, 2 * m : 4 * m].reshape(-1, m, 2)
+        t2 = mul_shoup_v(x2, w1, w1s, qq)
+        t3 = mul_shoup_v(x3, w1, w1s, qq)
+        a0 = add_mod_v(x0, t2, qq)
+        a1 = add_mod_v(x1, t3, qq)
+        b0 = sub_mod_v(x0, t2, qq)
+        b1 = sub_mod_v(x1, t3, qq)
+        u1 = mul_shoup_v(a1, w2[:, :, 0:1], w2s[:, :, 0:1], qq)
+        u3 = mul_shoup_v(b1, w2[:, :, 1:2], w2s[:, :, 1:2], qq)
+        return jnp.stack(
+            [
+                add_mod_v(a0, u1, qq),
+                sub_mod_v(a0, u1, qq),
+                add_mod_v(b0, u3, qq),
+                sub_mod_v(b0, u3, qq),
+            ],
+            axis=-2,
+        ).reshape(*batch, n)
+
+    layer = 0
+    if plan.log_n % 2:
+        out = r2(out, 0)
+        layer = 1
+    while layer < plan.log_n:
+        out = r4(out, layer)
+        layer += 2
     return out
 
 
@@ -152,17 +191,49 @@ def rns_intt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
     batch = a.shape[:-1]
     out = u64(a)
     q = jnp.asarray(plan.q_arr)
-    for layer in reversed(range(plan.log_n)):
+
+    def r2i(out, layer):
         m = 1 << layer
         half = n >> (layer + 1)
         x = out.reshape(*batch, m, 2, half)
         uu, vv = x[..., 0, :], x[..., 1, :]
-        t = jnp.asarray(plan.psi_inv_br[:, m : 2 * m])[:, :, None]
-        ts = jnp.asarray(plan.psi_inv_br_shoup[:, m : 2 * m])[:, :, None]
+        t = plan.psi_inv_br[:, m : 2 * m][:, :, None]
+        ts = plan.psi_inv_br_shoup[:, m : 2 * m][:, :, None]
         qq = q[:, None, :]
         s = add_mod_v(uu, vv, qq)
         d = mul_shoup_v(sub_mod_v(uu, vv, qq), t, ts, qq)
-        out = jnp.stack([s, d], axis=-2).reshape(*batch, n)
+        return jnp.stack([s, d], axis=-2).reshape(*batch, n)
+
+    def r4i(out, layer):
+        m = 1 << layer
+        quarter = n >> (layer + 2)
+        x = out.reshape(*batch, m, 4, quarter)
+        x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
+        qq = q[:, None, :]
+        wi1 = plan.psi_inv_br[:, m : 2 * m][:, :, None]
+        wi1s = plan.psi_inv_br_shoup[:, m : 2 * m][:, :, None]
+        wi2 = plan.psi_inv_br[:, 2 * m : 4 * m].reshape(-1, m, 2)
+        wi2s = plan.psi_inv_br_shoup[:, 2 * m : 4 * m].reshape(-1, m, 2)
+        a0 = add_mod_v(x0, x1, qq)
+        a1 = mul_shoup_v(sub_mod_v(x0, x1, qq), wi2[:, :, 0:1], wi2s[:, :, 0:1], qq)
+        b0 = add_mod_v(x2, x3, qq)
+        b1 = mul_shoup_v(sub_mod_v(x2, x3, qq), wi2[:, :, 1:2], wi2s[:, :, 1:2], qq)
+        return jnp.stack(
+            [
+                add_mod_v(a0, b0, qq),
+                add_mod_v(a1, b1, qq),
+                mul_shoup_v(sub_mod_v(a0, b0, qq), wi1, wi1s, qq),
+                mul_shoup_v(sub_mod_v(a1, b1, qq), wi1, wi1s, qq),
+            ],
+            axis=-2,
+        ).reshape(*batch, n)
+
+    layer = plan.log_n - 2
+    while layer >= (1 if plan.log_n % 2 else 0):
+        out = r4i(out, layer)
+        layer -= 2
+    if plan.log_n % 2:
+        out = r2i(out, 0)
     return mul_shoup_v(
         out, jnp.asarray(plan.n_inv), jnp.asarray(plan.n_inv_shoup), q
     )
