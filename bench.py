@@ -31,11 +31,13 @@ def main():
     ap.add_argument(
         "--smoke", action="store_true", help="tiny params on CPU for a fast check"
     )
-    ap.add_argument("--metric", choices=["tfhe", "fhew"], default="tfhe")
+    ap.add_argument("--metric", choices=["tfhe", "fhew", "ckks"], default="tfhe")
     args = ap.parse_args()
 
     if args.metric == "fhew":
         return bench_fhew(args)
+    if args.metric == "ckks":
+        return bench_ckks(args)
 
     import jax
 
@@ -200,6 +202,61 @@ def bench_fhew(args):
     print(
         f"# fhew q={q} N=512 n=100 batch={B} keygen={keygen_s:.1f}s "
         f"compile={compile_s:.1f}s steady={dt:.2f}s device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+def bench_ckks(args):
+    """CKKS homomorphic multiplies (tensor + hybrid relinearize + rescale)
+    per second at a production shape: N=2^13, L=8 55-bit q-primes + 8
+    p-primes (the reference fixture's prime sizes, `ckks.rs:306`)."""
+    import jax
+    import numpy as np_  # noqa: F401
+
+    from learn_fhe_tpu.models.ckks import ckks as C
+
+    rng = np.random.default_rng(0)
+    params = C.CkksParams(log_n=13, log_qi=55, big_l=8)
+    t0 = time.time()
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    keygen_s = time.time() - t0
+
+    m0 = rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)
+    m1 = rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)
+    ct0 = C.sk_encrypt(params, sk, C.encode(params, m0), params.qs, rng)
+    ct1 = C.sk_encrypt(params, sk, C.encode(params, m1), params.qs, rng)
+
+    t0 = time.time()
+    out = C.mul(params, rlk, ct0, ct1)
+    jax.block_until_ready(out.b)
+    compile_s = time.time() - t0
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = float(np.max(np.abs(got - m0 * m1)))
+    assert err < 1e-6, err
+
+    iters = max(args.iters * 10, 30)
+    t0 = time.time()
+    for _ in range(iters):
+        out = C.mul(params, rlk, ct0, ct1)
+    jax.block_until_ready(out.b)
+    dt = time.time() - t0
+    mps = iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ckks_mul_relin_rescale_per_sec_per_chip",
+                "value": round(mps, 3),
+                "unit": "muls/s",
+                "vs_baseline": round(mps / PER_CHIP_BASELINE, 4),
+            }
+        )
+    )
+    import sys
+
+    print(
+        f"# ckks N=8192 L=8 log_qi=55 keygen={keygen_s:.1f}s compile={compile_s:.1f}s "
+        f"steady={dt:.2f}s err={err:.2e} device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
