@@ -17,9 +17,20 @@ import numpy as np
 
 
 def _flatten(obj: Any, prefix: str, arrays: dict, manifest: dict):
+    import dataclasses
+
     if hasattr(obj, "_fields"):  # NamedTuple
         manifest[prefix] = {"kind": "namedtuple", "type": type(obj).__name__, "fields": list(obj._fields)}
         for f in obj._fields:
+            _flatten(getattr(obj, f), f"{prefix}.{f}", arrays, manifest)
+    elif dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        names = [f.name for f in dataclasses.fields(obj)]
+        manifest[prefix] = {
+            "kind": "dataclass",
+            "type": type(obj).__name__,
+            "fields": names,
+        }
+        for f in names:
             _flatten(getattr(obj, f), f"{prefix}.{f}", arrays, manifest)
     elif isinstance(obj, dict):
         manifest[prefix] = {"kind": "dict", "keys": [str(k) for k in obj.keys()]}
@@ -71,7 +82,7 @@ def load(path: str, reconstruct: dict[str, Any] | None = None) -> dict[str, Any]
             return tuple(meta["values"])
         if kind == "none":
             return None
-        if kind == "namedtuple":
+        if kind in ("namedtuple", "dataclass"):
             fields = {f: build(f"{prefix}.{f}") for f in meta["fields"]}
             cls = (reconstruct or {}).get(prefix) or (reconstruct or {}).get(
                 meta["type"]

@@ -194,3 +194,47 @@ def test_multiparty_merge_matches_lwe_ksk_merge(rng):
     stacked = jnp.stack([jnp.asarray(s) for s in shares])
     got_b = merge_shares(mesh, shard_parties(mesh, stacked), params.q)
     assert np.array_equal(np.asarray(got_b), np.asarray(want.b))
+
+
+def test_serialization_ckks_dataclass(tmp_path, rng):
+    """CKKS ciphertexts/keys are registered dataclasses (static qs metadata);
+    serialization must round-trip them including typed reconstruction."""
+    from learn_fhe_tpu.models.ckks import ckks as C
+    from learn_fhe_tpu.utils import serialization as ser
+
+    params = C.CkksParams(log_n=4, log_qi=45, big_l=3)
+    sk = C.sk_gen(params, rng)
+    m = rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    path = str(tmp_path / "ct.npz")
+    ser.save(path, ct=ct)
+    loaded = ser.load(path, reconstruct={"CkksCiphertext": C.CkksCiphertext})["ct"]
+    assert isinstance(loaded, C.CkksCiphertext)
+    assert loaded.qs == ct.qs
+    np.testing.assert_array_equal(np.asarray(loaded.b), np.asarray(ct.b))
+    np.testing.assert_array_equal(np.asarray(loaded.a), np.asarray(ct.a))
+    got = C.decode(params, C.decrypt(params, sk, loaded), loaded.qs)
+    assert np.max(np.abs(got - m)) < 1e-6
+
+
+def test_noise_meters(rng):
+    """The noise budget meters report sane positive headroom on fresh
+    ciphertexts (SURVEY section 5: observability subsystem)."""
+    from learn_fhe_tpu.models.fhew import BootstrapParams as FP, LweParams, RgswParams, RlweParams
+    from learn_fhe_tpu.models.fhew import lwe
+    from learn_fhe_tpu.models.fhew import rlwe as frlwe
+    from learn_fhe_tpu.utils.noise import fhew_noise_bits
+    from learn_fhe_tpu.utils.primes import two_adic_primes
+
+    q = next(two_adic_primes(28, 8))
+    params = FP(
+        RgswParams(RlweParams(q=q, p=4, log_n=7, log_b=7, d=4), log_b=7, d=4),
+        LweParams(q=1 << 16, p=4, n=16, log_b=4, d=4),
+        w=5,
+    )
+    sk = frlwe.sk_gen(params.rlwe, rng)
+    ct = lwe.sk_encrypt(
+        params.lwe_z, np.asarray(sk), lwe.encode(params.lwe_z, jnp.asarray(np.uint64(1))), rng
+    )
+    bits = fhew_noise_bits(params, np.asarray(sk), ct, 1)
+    assert bits > 5, bits  # fresh ciphertext has plenty of headroom
