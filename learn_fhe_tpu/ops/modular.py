@@ -82,18 +82,18 @@ def mulhi64(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def add_mod(a, b, q) -> jnp.ndarray:
-    """(a + b) mod q, inputs already reduced, q < 2^63 so no u64 overflow."""
+    """(a + b) mod q, inputs already reduced, q < 2^63 so no u64 overflow.
+
+    min-trick: the wrong candidate wraps above 2^63, so minimum() picks the
+    reduced value in one vector op instead of compare+select."""
     s = u64(a) + u64(b)
-    qq = u64(q)
-    return jnp.where(s >= qq, s - qq, s)
+    return jnp.minimum(s, s - u64(q))
 
 
 def sub_mod(a, b, q) -> jnp.ndarray:
-    """(a - b) mod q, inputs already reduced."""
-    a = u64(a)
-    b = u64(b)
-    d = a - b
-    return jnp.where(a >= b, d, d + u64(q))
+    """(a - b) mod q, inputs already reduced (min-trick, see add_mod)."""
+    d = u64(a) - u64(b)
+    return jnp.minimum(d, d + u64(q))
 
 
 def neg_mod(a, q) -> jnp.ndarray:
@@ -112,8 +112,7 @@ def mul_shoup(a, w, w_shoup, q) -> jnp.ndarray:
     w = u64(w)
     hi = mulhi64(a, u64(w_shoup))
     r = a * w - hi * u64(q)  # both wrapping u64
-    qq = u64(q)
-    return jnp.where(r >= qq, r - qq, r)
+    return jnp.minimum(r, r - u64(q))
 
 
 def _redc(t_hi, t_lo, q, neg_q_inv) -> jnp.ndarray:
@@ -135,11 +134,11 @@ def mul_mod(a, b, zq: ZqParams) -> jnp.ndarray:
     # t = a*b*R^-1 mod q
     t = _redc(mulhi64(a, b), a * b, q, neg_q_inv)
     qq = u64(q)
-    t = jnp.where(t >= qq, t - qq, t)
+    t = jnp.minimum(t, t - qq)
     # result = t*r2*R^-1 = a*b mod q
     r2 = u64(zq.r2)
     out = _redc(mulhi64(t, r2), t * r2, q, neg_q_inv)
-    return jnp.where(out >= qq, out - qq, out)
+    return jnp.minimum(out, out - qq)
 
 
 def to_montgomery(a, zq: ZqParams) -> jnp.ndarray:
@@ -147,8 +146,7 @@ def to_montgomery(a, zq: ZqParams) -> jnp.ndarray:
     r2 = u64(zq.r2)
     a = u64(a)
     t = _redc(mulhi64(a, r2), a * r2, zq.q, zq.neg_q_inv)
-    qq = u64(zq.q)
-    return jnp.where(t >= qq, t - qq, t)
+    return jnp.minimum(t, t - u64(zq.q))
 
 
 def mont_mul(a_mont, b, zq: ZqParams) -> jnp.ndarray:
@@ -157,8 +155,7 @@ def mont_mul(a_mont, b, zq: ZqParams) -> jnp.ndarray:
     a = u64(a_mont)
     b = u64(b)
     t = _redc(mulhi64(a, b), a * b, zq.q, zq.neg_q_inv)
-    qq = u64(zq.q)
-    return jnp.where(t >= qq, t - qq, t)
+    return jnp.minimum(t, t - u64(zq.q))
 
 
 # ---------------------------------------------------------------------------
@@ -282,5 +279,5 @@ def barrett_reduce_u64(a, q: int) -> jnp.ndarray:
     hi = mulhi64(u64(a), u64(m))
     r = u64(a) - hi * u64(q)
     qq = u64(q)
-    r = jnp.where(r >= qq, r - qq, r)
-    return jnp.where(r >= qq, r - qq, r)
+    r = jnp.minimum(r, r - qq)
+    return jnp.minimum(r, r - qq)

@@ -33,14 +33,12 @@ from .ntt import bit_reverse_indices, ntt_plan
 
 def add_mod_v(a, b, q):
     s = u64(a) + u64(b)
-    return jnp.where(s >= q, s - q, s)
+    return jnp.minimum(s, s - q)  # min-trick (see ops/modular.py)
 
 
 def sub_mod_v(a, b, q):
-    a = u64(a)
-    b = u64(b)
-    d = a - b
-    return jnp.where(a >= b, d, d + q)
+    d = u64(a) - u64(b)
+    return jnp.minimum(d, d + q)
 
 
 def neg_mod_v(a, q):
@@ -52,7 +50,7 @@ def mul_shoup_v(a, w, w_shoup, q):
     a = u64(a)
     hi = mulhi64(a, u64(w_shoup))
     r = a * u64(w) - hi * q
-    return jnp.where(r >= q, r - q, r)
+    return jnp.minimum(r, r - q)
 
 
 def _redc_v(t_hi, t_lo, q, neg_q_inv):
@@ -60,7 +58,7 @@ def _redc_v(t_hi, t_lo, q, neg_q_inv):
     mq_hi = mulhi64(m, q)
     carry = (t_lo != 0).astype(jnp.uint64)
     t = t_hi + mq_hi + carry
-    return jnp.where(t >= q, t - q, t)
+    return jnp.minimum(t, t - q)
 
 
 def mul_mod_v(a, b, q, neg_q_inv, r2):
