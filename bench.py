@@ -96,9 +96,26 @@ def main():
     cts = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
     a2n, b2n = mod_switch_2n(cts, params.big_n)
 
+    from learn_fhe_tpu.parallel.batch import PBS_CHUNK
+
+    def run_pipeline():
+        if B <= PBS_CHUNK:
+            return tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+        outs = [
+            tfhe_pbs_batch_device(
+                params, key, v_enc, a2n[s : s + PBS_CHUNK], b2n[s : s + PBS_CHUNK]
+            )
+            for s in range(0, B, PBS_CHUNK)
+        ]
+        from learn_fhe_tpu.models.tfhe.tlwe import TlweCiphertext
+
+        return TlweCiphertext(
+            jnp.concatenate([o.a for o in outs]), jnp.concatenate([o.b for o in outs])
+        )
+
     # compile (excluded from timing)
     t0 = time.time()
-    out = tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+    out = run_pipeline()
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
@@ -108,7 +125,7 @@ def main():
 
     t0 = time.time()
     for _ in range(args.iters):
-        out = tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+        out = run_pipeline()
     jax.block_until_ready(out)
     dt = time.time() - t0
 

@@ -48,13 +48,37 @@ def tfhe_pbs_batch_device(
     return tlwe.key_switch(params.tlwe, key.ksk, ext)
 
 
+# Throughput saturates at this chunk size on v5e (ARCHITECTURE.md §6);
+# larger batches degrade (VMEM/scheduling pressure), so big batches stream
+# through fixed-size chunks that reuse one compiled pipeline.
+PBS_CHUNK = 128
+
+
 def tfhe_pbs_batch(
     params: TfheParams, key: TfheKey, v: jnp.ndarray, cts: TlweCiphertext
 ) -> TlweCiphertext:
-    """Full batched PBS: cts carries a leading batch axis."""
+    """Full batched PBS: cts carries a leading batch axis of any size;
+    batches beyond PBS_CHUNK stream through equal chunks (padding the tail)
+    so the 4096-ciphertext configuration runs at peak per-chunk throughput."""
     v_enc = tfhe.tglwe.encode(params.tglwe, v)
     a2n, b2n = tfhe.mod_switch_2n(cts, params.big_n)
-    return tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+    B = a2n.shape[0]
+    if B <= PBS_CHUNK:
+        return tfhe_pbs_batch_device(params, key, v_enc, a2n, b2n)
+    pad = (-B) % PBS_CHUNK
+    if pad:
+        a2n = jnp.concatenate([a2n, a2n[:pad]], axis=0)
+        b2n = jnp.concatenate([b2n, b2n[:pad]], axis=0)
+    outs = []
+    for s in range(0, a2n.shape[0], PBS_CHUNK):
+        outs.append(
+            tfhe_pbs_batch_device(
+                params, key, v_enc, a2n[s : s + PBS_CHUNK], b2n[s : s + PBS_CHUNK]
+            )
+        )
+    a = jnp.concatenate([o.a for o in outs], axis=0)[:B]
+    b = jnp.concatenate([o.b for o in outs], axis=0)[:B]
+    return TlweCiphertext(a, b)
 
 
 # -- FHEW batched gate bootstrap -------------------------------------------------

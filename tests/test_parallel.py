@@ -238,3 +238,19 @@ def test_noise_meters(rng):
     )
     bits = fhew_noise_bits(params, np.asarray(sk), ct, 1)
     assert bits > 5, bits  # fresh ciphertext has plenty of headroom
+
+
+def test_tfhe_pbs_batch_chunked(tfhe_env, monkeypatch):
+    """Batches beyond PBS_CHUNK stream through padded chunks; results must
+    equal the unchunked pipeline element-for-element."""
+    from learn_fhe_tpu.parallel import batch as batch_mod
+
+    params, z, bk, rng = tfhe_env
+    tab = jnp.asarray(lut_table(2, 256, lambda v: (v + 1) % 4))
+    B = 10
+    ms = rng.integers(0, 4, size=B).astype(np.uint64)
+    cts = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
+    monkeypatch.setattr(batch_mod, "PBS_CHUNK", 4)  # force chunking + tail pad
+    out = batch_mod.tfhe_pbs_batch(params, bk, tab, cts)
+    got = np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out)))
+    np.testing.assert_array_equal(got, (ms + 1) % 4)
