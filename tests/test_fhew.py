@@ -269,3 +269,41 @@ def test_multi_key_gates():
             assert dec(enc(m0) & enc(m1)) == (m0 and m1), (m0, m1)
             assert dec(enc(m0) ^ enc(m1)) == (m0 != m1), (m0, m1)
     assert dec(enc(True)) is True and dec(enc(False)) is False
+
+
+def test_external_product_u32_matches_u64(rng):
+    """The u32 engine's external product is bit-identical to the u64 path:
+    both compute exact mod-q values from the same key and ciphertext."""
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.models.fhew import rgsw as rgsw_mod
+    from learn_fhe_tpu.models.fhew.rlwe import RlweCiphertext
+    from learn_fhe_tpu.ops.modular import to_montgomery, u64
+    from learn_fhe_tpu.ops.ntt import ntt
+
+    q = next(two_adic_primes(28, 8))
+    rlwe_p = RlweParams(q=q, p=4, log_n=6, log_b=7, d=4)
+    params = RgswParams(rlwe_p, log_b=7, d=4)
+    assert params.use_u32
+    d2, n = 2 * params.gadget.d, params.n
+    key_coeff = rgsw_mod.RgswCiphertext(
+        jnp.asarray(rng.integers(0, q, size=(d2, n), dtype=np.uint64)),
+        jnp.asarray(rng.integers(0, q, size=(d2, n), dtype=np.uint64)),
+    )
+    ct = RlweCiphertext(
+        jnp.asarray(rng.integers(0, q, size=n, dtype=np.uint64)),
+        jnp.asarray(rng.integers(0, q, size=n, dtype=np.uint64)),
+    )
+    # u32 engine (params.use_u32 -> Shoup-dual key)
+    key32 = rgsw_mod.to_eval(params, key_coeff)
+    out32 = rgsw_mod.external_product(params, key32, ct)
+    # u64 Montgomery path on the same inputs
+    zq = params.plan.zq
+    key64 = rgsw_mod.RgswEval(
+        to_montgomery(ntt(key_coeff.a, params.plan), zq),
+        to_montgomery(ntt(key_coeff.b, params.plan), zq),
+    )
+    assert key64.a_dual is None  # forces the u64 branch
+    out64 = rgsw_mod.external_product(params, key64, ct)
+    assert np.array_equal(np.asarray(u64(out32.a)), np.asarray(out64.a))
+    assert np.array_equal(np.asarray(u64(out32.b)), np.asarray(out64.b))
