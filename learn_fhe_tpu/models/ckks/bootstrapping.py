@@ -44,6 +44,14 @@ def _chunked(mats, r, n):
 class BootstrapKey:
     bp: BootstrapParams
     rtk: dict[int, CkksRotKey]
+    # encoded-diagonal plaintext cache keyed by (id(mat), diag index, level
+    # basis): the sifft encode runs in host double-double arithmetic and
+    # would otherwise dominate repeated CoeffToSlot/SlotToCoeff calls
+    pt_cache: dict = None
+
+    def __post_init__(self):
+        if self.pt_cache is None:
+            self.pt_cache = {}
 
 
 def key_gen(bp: BootstrapParams, sk: np.ndarray, rng: np.random.Generator) -> BootstrapKey:
@@ -88,8 +96,13 @@ def _mul_mat(bk: BootstrapKey, mat: dict[int, DDC], ct: CkksCiphertext) -> CkksC
     for i, jss in plan.items():
         partial = None
         for j in jss:
-            diag = mat[(i + j) % params.l].roll(i)  # rot_iter(-i)
-            term = C.mul_constant(params, diag, ct_rot[j])
+            key = (id(mat), (i + j) % params.l, i, ct.qs)
+            pt = bk.pt_cache.get(key)
+            if pt is None:
+                diag = mat[(i + j) % params.l].roll(i)  # rot_iter(-i)
+                pt = C.encode(params, diag, ct.qs)
+                bk.pt_cache[key] = pt
+            term = C._mul_pt(params, pt, ct_rot[j])
             partial = term if partial is None else C.add(partial, term)
         moved = rot(i, partial)
         out = moved if out is None else C.add(out, moved)

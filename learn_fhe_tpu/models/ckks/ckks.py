@@ -193,22 +193,27 @@ def _automorphism_i64(sk: np.ndarray, t: int) -> np.ndarray:
     return out
 
 
-def ksk_gen(
-    params: CkksParams, sk: np.ndarray, sk_prime: np.ndarray, rng: np.random.Generator
-) -> CkksKeySwitchingKey:
-    """ksk = enc_{QP}(P * sk') (`ckks.rs:154-162`)."""
+@partial(jax.jit, static_argnums=(0,))
+def _ksk_pt(params: CkksParams, sk_prime_i64: jnp.ndarray) -> jnp.ndarray:
     qps = params.qps
     plan = params.plan(qps)
-    pt = rns_from_i64(jnp.asarray(sk_prime), plan)  # (2L, N)
+    pt = rns_from_i64(sk_prime_i64, plan)  # (2L, N)
     p_mod = np.array([params.big_p % q for q in qps], dtype=np.uint64)[:, None]
     from ...ops.modular import shoup_precompute
 
     p_shoup = np.stack(
         [shoup_precompute(params.big_p % q, q) for q in qps]
     ).reshape(-1, 1)
-    pt = mul_shoup_v(pt, jnp.asarray(p_mod), jnp.asarray(p_shoup), jnp.asarray(plan.q_arr))
-    ct = sk_encrypt(params, sk, pt, qps, rng)
-    return CkksKeySwitchingKey(ct.b, ct.a, qps)
+    return mul_shoup_v(pt, p_mod, p_shoup, plan.q_arr)
+
+
+def ksk_gen(
+    params: CkksParams, sk: np.ndarray, sk_prime: np.ndarray, rng: np.random.Generator
+) -> CkksKeySwitchingKey:
+    """ksk = enc_{QP}(P * sk') (`ckks.rs:154-162`)."""
+    pt = _ksk_pt(params, jnp.asarray(np.asarray(sk_prime, dtype=np.int64)))
+    ct = sk_encrypt(params, sk, pt, params.qps, rng)
+    return CkksKeySwitchingKey(ct.b, ct.a, params.qps)
 
 
 def rlk_gen(params: CkksParams, sk: np.ndarray, rng) -> CkksKeySwitchingKey:

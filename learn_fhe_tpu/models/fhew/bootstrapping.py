@@ -447,8 +447,28 @@ def key_share_merge(
     )
     merged = shares[0].brk
     for s in shares[1:]:
-        merged = rgsw.internal_product(
-            params.rgsw, rgsw.to_eval(params.rgsw, merged), s.brk
+        # chunk the n-axis: each LWE key bit's RGSW merges independently, and
+        # a full-width internal product at production sizes (n=600, N=2^11,
+        # d=5, 55-bit q) materializes multi-GB u64 intermediates
+        n_keys = merged.a.shape[0]
+        chunk = max(1, min(n_keys, 64))
+        outs = []
+        for lo in range(0, n_keys, chunk):
+            hi = lo + chunk
+            key_ev = rgsw.to_eval(
+                params.rgsw,
+                rgsw.RgswCiphertext(merged.a[lo:hi], merged.b[lo:hi]),
+            )
+            outs.append(
+                rgsw.internal_product(
+                    params.rgsw,
+                    key_ev,
+                    rgsw.RgswCiphertext(s.brk.a[lo:hi], s.brk.b[lo:hi]),
+                )
+            )
+        merged = rgsw.RgswCiphertext(
+            jnp.concatenate([o.a for o in outs], axis=0),
+            jnp.concatenate([o.b for o in outs], axis=0),
         )
     brk_eval = rgsw.to_eval(params.rgsw, merged)
     ak_ksks = []
