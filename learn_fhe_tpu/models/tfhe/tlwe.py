@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,11 +89,46 @@ def ksk_gen(
 def key_switch(
     params: TlweParams, ksk: TlweKeySwitchingKey, ct: TlweCiphertext
 ) -> TlweCiphertext:
-    """Wrapping decompose-dot (`tlwe.rs:144-153`)."""
+    """Wrapping decompose-dot (`tlwe.rs:144-153`).
+
+    When the gadget digits fit int8 (log_b <= 7: digits live in
+    (-B/2, B/2] and +B/2 must not exceed +127) the contraction rides the
+    MXU: digits (i8) x balanced byte limbs of the key (8 x i8 matmuls with
+    exact i32 accumulation, wrapping mod-2^64 recombination) — bit-identical
+    to the u64 dot and ~7x faster at the PBS pipeline shapes."""
     limbs = decompose_t64(ct.a, params.gadget)  # (d, ..., n_from)
     limbs = jnp.moveaxis(limbs, 0, -2)
     flat = limbs.reshape(*limbs.shape[:-2], -1)  # (..., d*n_from)
     d, n_from, n_to = ksk.a.shape
-    a = jnp.sum(flat[..., :, None] * ksk.a.reshape(d * n_from, n_to), axis=-2)
-    b = jnp.sum(flat * ksk.b.reshape(d * n_from), axis=-1)
+    K = d * n_from
+    if params.log_b <= 7 and K * (1 << (params.log_b - 1)) < (1 << 23):
+        a = _mxu_wrapping_dot(flat, ksk.a.reshape(K, n_to))
+        b = _mxu_wrapping_dot(flat, ksk.b.reshape(K, 1))[..., 0]
+        return TlweCiphertext(a, b + ct.b)
+    a = jnp.sum(flat[..., :, None] * ksk.a.reshape(K, n_to), axis=-2)
+    b = jnp.sum(flat * ksk.b.reshape(K), axis=-1)
     return TlweCiphertext(a, b + ct.b)
+
+
+def _mxu_wrapping_dot(digits_u64: jnp.ndarray, key_u64: jnp.ndarray) -> jnp.ndarray:
+    """sum_k digits[..., k] * key[k, :] mod 2^64 with |digit| <= 127.
+
+    digits: wrapping-u64 small signed values -> i8 (low byte is exact two's
+    complement). key: u64 -> 8 balanced base-256 i8 limbs (centered signed
+    representative; exact mod 2^64). Each limb matmul accumulates exactly in
+    i32 (requires K * max|digit| * 128 < 2^31, gated by the caller)."""
+    dig8 = digits_u64.astype(jnp.uint8).astype(jnp.int8)  # (..., K)
+    t = key_u64.astype(jnp.int64)  # two's complement centered rep
+    out = None
+    for j in range(8):
+        limb = ((t + 128) & 255) - 128  # balanced digit in [-128, 128)
+        t = (t - limb) >> 8
+        p = jax.lax.dot_general(
+            dig8,
+            limb.astype(jnp.int8),
+            (((dig8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (..., n_to) exact
+        term = p.astype(jnp.int64).astype(jnp.uint64) << np.uint64(8 * j)
+        out = term if out is None else out + term
+    return out

@@ -97,9 +97,9 @@ def sub_mod(a, b, q) -> jnp.ndarray:
 
 
 def neg_mod(a, q) -> jnp.ndarray:
-    """(-a) mod q, input already reduced (maps 0 -> 0)."""
+    """(-a) mod q, input already reduced (maps 0 -> 0; min-trick)."""
     a = u64(a)
-    return jnp.where(a == 0, a, u64(q) - a)
+    return jnp.minimum(u64(q) - a, u64(0) - a)
 
 
 def mul_shoup(a, w, w_shoup, q) -> jnp.ndarray:

@@ -94,8 +94,10 @@ def sub_mod32(a, b, q: int) -> jnp.ndarray:
 
 
 def neg_mod32(a, q: int) -> jnp.ndarray:
+    """(-a) mod q via the min-trick: for a=0 the 0-a candidate wins (0);
+    otherwise q-a < 2^31 < 2^32-a."""
     a = u32(a)
-    return jnp.where(a == 0, a, np.uint32(q) - a)
+    return jnp.minimum(np.uint32(q) - a, np.uint32(0) - a)
 
 
 def mul_shoup32(a, w, w_shoup, q: int) -> jnp.ndarray:

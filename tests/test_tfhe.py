@@ -160,3 +160,36 @@ def test_pbs_reference_params():
         out = bootstrap(params, bk, tab, ct)
         got = int(np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out))))
         assert got == m
+
+
+def test_key_switch_mxu_matches_u64(rng):
+    """The MXU i8-limb wrapping dot is bit-identical to the u64 dot, and the
+    log_b=8 parameter set (digits can hit +128 > i8 max) stays on the u64
+    path (regression: an i8 overflow flipped +128 to -128)."""
+    from learn_fhe_tpu.ops.gadget import decompose_t64
+
+    def ref_ks(params, ksk, ct):
+        limbs = jnp.moveaxis(decompose_t64(ct.a, params.gadget), 0, -2)
+        flat = np.asarray(limbs.reshape(*limbs.shape[:-2], -1))
+        d, n_from, n_to = ksk.a.shape
+        ka = np.asarray(ksk.a).reshape(d * n_from, n_to)
+        kb = np.asarray(ksk.b).reshape(d * n_from)
+        a = np.einsum("bk,kn->bn", flat, ka, dtype=np.uint64, casting="unsafe")
+        b = (flat * kb[None]).sum(axis=1, dtype=np.uint64) + np.asarray(ct.b)
+        return a, b
+
+    for log_b, d in [(4, 5), (7, 4), (8, 8)]:  # 8 exercises the u64 fallback
+        params = TlweParams(log_p=4, padding=1, n=32, std_dev=1e-8, log_b=log_b, d=d)
+        n_from = 64
+        ksk = tlwe.TlweKeySwitchingKey(
+            jnp.asarray(rng.integers(0, 1 << 64, size=(d, n_from, 32), dtype=np.uint64)),
+            jnp.asarray(rng.integers(0, 1 << 64, size=(d, n_from), dtype=np.uint64)),
+        )
+        ct = tlwe.TlweCiphertext(
+            jnp.asarray(rng.integers(0, 1 << 64, size=(6, n_from), dtype=np.uint64)),
+            jnp.asarray(rng.integers(0, 1 << 64, size=(6,), dtype=np.uint64)),
+        )
+        out = tlwe.key_switch(params, ksk, ct)
+        ref_a, ref_b = ref_ks(params, ksk, ct)
+        assert np.array_equal(np.asarray(out.a), ref_a), log_b
+        assert np.array_equal(np.asarray(out.b), ref_b), log_b
