@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.gadget import decompose_zq, power_up_zq, rounding_shr_zq
+from ...ops.gadget import decompose_zq, power_up_zq
 from ...ops.modular import add_mod, mont_mul, sub_mod, sum_mod, to_montgomery, u64
 from ...ops.ntt import intt, ntt
 from .params import RgswParams
