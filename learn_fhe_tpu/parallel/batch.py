@@ -142,8 +142,14 @@ def fhew_bootstrap_batch(
     ct_a, f_prime = _fhew_preamble(params, key, f, cts)
     # schedule from the PUBLIC mask (host control flow, SURVEY.md §7.3 item 4)
     ops, idxs = fhew_boot.build_schedule(params, np.asarray(ct_a))
+    # the static schedule length is a worst case (~40% padding at reference
+    # params); trim to the batch's real maximum, rounded up so the jit cache
+    # sees few distinct lengths
+    flat_ops = ops.reshape(-1, ops.shape[-1])
+    used = np.max(np.sum(flat_ops != fhew_boot.OP_NOOP, axis=-1))
+    L = min(ops.shape[-1], int(-(-int(used) // 32) * 32))
     return fhew_blind_rotate_batch_device(
-        params, key, f_prime, jnp.asarray(ops), jnp.asarray(idxs)
+        params, key, f_prime, jnp.asarray(ops[..., :L]), jnp.asarray(idxs[..., :L])
     )
 
 
