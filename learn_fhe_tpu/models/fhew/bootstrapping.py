@@ -279,6 +279,45 @@ def build_schedule(params: BootstrapParams, a: np.ndarray) -> tuple[np.ndarray, 
     return ops, idxs
 
 
+def fuse_schedule(ops: np.ndarray, idxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Merge each automorphism into the preceding external-product step.
+
+    Under a batched (vmapped) walk every step pays BOTH branch costs, so the
+    step count is the cost: an (op, idx) stream of length L becomes a stream
+    of (ext_idx, auto_idx) pairs (-1 = absent) of length ~0.6 L — each run of
+    external products carries the auto that follows it for free, preserving
+    the exact per-element op order (ext phase then auto phase per step).
+    """
+    ops2 = ops.reshape(-1, ops.shape[-1])
+    idxs2 = idxs.reshape(-1, idxs.shape[-1])
+    B, L = ops2.shape
+    e_out = np.full((B, L), -1, dtype=np.int32)
+    a_out = np.full((B, L), -1, dtype=np.int32)
+    max_len = 0
+    for b in range(B):
+        k = 0  # next step to write; steps [0, k) finalized except maybe auto
+        open_ext = False  # step k-1 is an ext with no auto attached yet
+        for t in range(L):
+            op = ops2[b, t]
+            if op == OP_EXT:
+                e_out[b, k] = idxs2[b, t]
+                open_ext = True
+                k += 1
+            elif op == OP_AUTO:
+                if open_ext:
+                    a_out[b, k - 1] = idxs2[b, t]
+                    open_ext = False
+                else:
+                    a_out[b, k] = idxs2[b, t]
+                    k += 1
+            else:  # NOOP padding: schedules pad only at the tail
+                break
+        max_len = max(max_len, k)
+    L2 = max(1, min(L, -(-max_len // 32) * 32))
+    shape = (*ops.shape[:-1], L2)
+    return e_out[:, :L2].reshape(shape), a_out[:, :L2].reshape(shape)
+
+
 # -- device blind rotation -----------------------------------------------------
 
 
@@ -355,6 +394,77 @@ def blind_rotate_core(
     return RlweCiphertext(a, b)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def blind_rotate_core_fused(
+    params: BootstrapParams,
+    key: BootstrapKey,
+    ext_idx: jnp.ndarray,  # (L,) i32, -1 = no external product this step
+    auto_idx: jnp.ndarray,  # (L,) i32, -1 = no automorphism this step
+    acc: RlweCiphertext,
+) -> RlweCiphertext:
+    """Fused-schedule walk (see `fuse_schedule`): every step runs a masked
+    external product THEN a masked automorphism+keyswitch. Identical op
+    order per element as `blind_rotate_core`, ~40% fewer scan steps."""
+    gp = params.rgsw
+    rp = params.rlwe
+    q = params.big_q
+    u32 = gp.use_u32 and key.brk_ad is not None
+
+    if u32:
+        from ...ops.modular32 import neg_mod32
+
+        neg = lambda x: neg_mod32(x, q)
+    else:
+        neg = lambda x: neg_mod(x, q)
+
+    def step(carry, inp):
+        e_i, a_i = inp
+        ct = RlweCiphertext(*carry)
+
+        e_safe = jnp.maximum(e_i, 0)
+        brk = RgswEval(
+            key.brk_a[e_safe],
+            key.brk_b[e_safe],
+            key.brk_ad[e_safe] if u32 else None,
+            key.brk_bd[e_safe] if u32 else None,
+        )
+        ext = rgsw.external_product(gp, brk, ct)
+        keep = e_i >= 0
+        ct = RlweCiphertext(
+            jnp.where(keep, ext.a, ct.a), jnp.where(keep, ext.b, ct.b)
+        )
+
+        a_safe = jnp.maximum(a_i, 0)
+        src = key.auto_src[a_safe]
+        sign = key.auto_sign[a_safe]
+        a_g = ct.a[..., src]
+        b_g = ct.b[..., src]
+        auto_in = RlweCiphertext(
+            jnp.where(sign, neg(a_g), a_g), jnp.where(sign, neg(b_g), b_g)
+        )
+        ksk = rlwe.RlweKeySwitchingKey(
+            key.ak_a[a_safe],
+            key.ak_b[a_safe],
+            key.ak_ad[a_safe] if u32 else None,
+            key.ak_bd[a_safe] if u32 else None,
+        )
+        auto = rlwe.key_switch(rp, ksk, auto_in)
+        keep = a_i >= 0
+        ct = RlweCiphertext(
+            jnp.where(keep, auto.a, ct.a), jnp.where(keep, auto.b, ct.b)
+        )
+        return (ct.a, ct.b), None
+
+    acc_a, acc_b = acc.a, acc.b
+    if u32:
+        acc_a = acc_a.astype(jnp.uint32)
+        acc_b = acc_b.astype(jnp.uint32)
+    (a, b), _ = jax.lax.scan(step, (acc_a, acc_b), (ext_idx, auto_idx))
+    if u32:
+        a, b = u64(a), u64(b)
+    return RlweCiphertext(a, b)
+
+
 def blind_rotate(
     params: BootstrapParams,
     key: BootstrapKey,
@@ -369,7 +479,10 @@ def blind_rotate(
     f_prime = monomial_mul_zq(f_prime, b_g, params.big_q)
     acc = RlweCiphertext(jnp.zeros_like(f_prime), f_prime)
     ops, idxs = build_schedule(params, np.asarray(ct.a))
-    return blind_rotate_core(params, key, jnp.asarray(ops), jnp.asarray(idxs), acc)
+    e_idx, a_idx = fuse_schedule(ops, idxs)
+    return blind_rotate_core_fused(
+        params, key, jnp.asarray(e_idx), jnp.asarray(a_idx), acc
+    )
 
 
 def bootstrap(

@@ -89,19 +89,20 @@ def fhew_blind_rotate_batch_device(
     params: FhewParams,
     key: FhewKey,
     f_prime: jnp.ndarray,  # (B, N) prepared LUT (already twisted by X^{gb})
-    ops: jnp.ndarray,  # (B, L) schedule opcodes
-    idxs: jnp.ndarray,  # (B, L)
+    ext_idx: jnp.ndarray,  # (B, L) fused schedule: ext key index or -1
+    auto_idx: jnp.ndarray,  # (B, L) fused schedule: auto key index or -1
 ) -> FhewLwe:
-    """vmap of the LMKCDEY walk over a batch of (schedule, acc) pairs; under
-    vmap the per-step lax.switch lowers to a select over both branch results,
-    trading ~1.5x FLOPs for a single fused batched kernel."""
+    """vmap of the fused LMKCDEY walk (`fuse_schedule`) over a batch; each
+    step runs a masked external product then a masked automorphism, which
+    under vmap costs the same per step as the old 3-way switch but needs
+    ~40% fewer steps."""
 
-    def one(fp, op_row, idx_row):
+    def one(fp, e_row, a_row):
         acc = fhew_boot.RlweCiphertext(jnp.zeros_like(fp), fp)
-        out = fhew_boot.blind_rotate_core(params, key, op_row, idx_row, acc)
+        out = fhew_boot.blind_rotate_core_fused(params, key, e_row, a_row, acc)
         return out.a, out.b
 
-    acc_a, acc_b = jax.vmap(one)(f_prime, ops, idxs)
+    acc_a, acc_b = jax.vmap(one)(f_prime, ext_idx, auto_idx)
     from ..models.fhew import rlwe
 
     ext = rlwe.sample_extract(
@@ -140,16 +141,13 @@ def fhew_bootstrap_batch(
 ) -> FhewLwe:
     """Batched Figure-2 pipeline (`fhew/bootstrapping.rs:148-155`)."""
     ct_a, f_prime = _fhew_preamble(params, key, f, cts)
-    # schedule from the PUBLIC mask (host control flow, SURVEY.md §7.3 item 4)
+    # schedule from the PUBLIC mask (host control flow, SURVEY.md §7.3 item 4),
+    # then fused: autos ride with their preceding ext run, trimmed to the
+    # batch maximum (the static length is a ~40%-padded worst case)
     ops, idxs = fhew_boot.build_schedule(params, np.asarray(ct_a))
-    # the static schedule length is a worst case (~40% padding at reference
-    # params); trim to the batch's real maximum, rounded up so the jit cache
-    # sees few distinct lengths
-    flat_ops = ops.reshape(-1, ops.shape[-1])
-    used = np.max(np.sum(flat_ops != fhew_boot.OP_NOOP, axis=-1))
-    L = min(ops.shape[-1], int(-(-int(used) // 32) * 32))
+    e_idx, a_idx = fhew_boot.fuse_schedule(ops, idxs)
     return fhew_blind_rotate_batch_device(
-        params, key, f_prime, jnp.asarray(ops[..., :L]), jnp.asarray(idxs[..., :L])
+        params, key, f_prime, jnp.asarray(e_idx), jnp.asarray(a_idx)
     )
 
 

@@ -307,3 +307,39 @@ def test_external_product_u32_matches_u64(rng):
     out64 = rgsw_mod.external_product(params, key64, ct)
     assert np.array_equal(np.asarray(u64(out32.a)), np.asarray(out64.a))
     assert np.array_equal(np.asarray(u64(out32.b)), np.asarray(out64.b))
+
+
+def test_fused_schedule_matches_switch_core(small_bk):
+    """The fused (masked two-phase) walk must produce bit-identical
+    accumulators to the original 3-way-switch walk for the same schedule."""
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.models.fhew import bootstrapping as boot
+    from learn_fhe_tpu.models.fhew import gates, lwe
+
+    params, z, bk, rng = small_bk
+    m = np.array([1, 0, 1, 1], dtype=np.uint64)
+    ct = lwe.sk_encrypt(params.lwe_z, np.asarray(z), gates.encode_bool(params, m), rng)
+    ct = lwe.ct_mod_switch(ct, params.big_q, params.big_q_ks)
+    ct = lwe.key_switch(params.lwe_s, lwe.LweKeySwitchingKey(bk.ksk_a, bk.ksk_b), ct)
+    ct = lwe.ct_mod_switch_odd(ct, params.big_q_ks, params.q)
+    f = gates.lut_poly(params, gates.GATE_TABLES["nand"])
+    from learn_fhe_tpu.ops.poly import automorphism_zq, monomial_mul_zq
+    from learn_fhe_tpu.ops.modular import u64
+
+    g = boot.AUTO_G
+    f_auto = automorphism_zq(u64(f), -g, params.big_q)
+    for row in range(4):
+        b_g = int((int(np.asarray(ct.b)[row]) * g) % (2 * params.n))
+        fp = monomial_mul_zq(f_auto, b_g, params.big_q)
+        acc = boot.RlweCiphertext(jnp.zeros_like(fp), fp)
+        ops, idxs = boot.build_schedule(params, np.asarray(ct.a)[row])
+        old = boot.blind_rotate_core(
+            params, bk, jnp.asarray(ops), jnp.asarray(idxs), acc
+        )
+        e_idx, a_idx = boot.fuse_schedule(ops[None], idxs[None])
+        new = boot.blind_rotate_core_fused(
+            params, bk, jnp.asarray(e_idx[0]), jnp.asarray(a_idx[0]), acc
+        )
+        assert np.array_equal(np.asarray(old.a), np.asarray(new.a)), row
+        assert np.array_equal(np.asarray(old.b), np.asarray(new.b)), row
