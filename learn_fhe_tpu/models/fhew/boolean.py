@@ -33,9 +33,11 @@ class FhewBool:
         params: BootstrapParams,
         key: BootstrapKey,
         sk: np.ndarray,
-        m: bool,
+        m,
         rng: np.random.Generator,
     ) -> "FhewBool":
+        """m: bool OR a bool array — a batched m yields a VECTORIZED
+        encrypted bool whose gates all run lane-parallel in one bootstrap."""
         ct = lwe.sk_encrypt(params.lwe_z, sk, gates.encode_bool(params, m), rng)
         return cls(ct, params, key)
 
@@ -56,9 +58,11 @@ class FhewBool:
         ct = rlwe.pk_encrypt(params.rlwe, pk, pt, rng)
         return cls(rlwe.sample_extract(params.rlwe, ct, 0), params, key)
 
-    def decrypt(self, sk: np.ndarray) -> bool:
+    def decrypt(self, sk: np.ndarray):
+        """bool for scalar ciphertexts, np.bool_ array for vectorized ones."""
         pt = lwe.decrypt(self.params.lwe_z, sk, self.ct)
-        return bool(np.asarray(gates.decode_bool(self.params, pt)))
+        out = np.asarray(gates.decode_bool(self.params, pt))
+        return bool(out) if out.ndim == 0 else out
 
     def share_decrypt(self, sk: np.ndarray, rng: np.random.Generator):
         return lwe.share_decrypt(self.params.lwe_z, sk, self.ct.a, rng)

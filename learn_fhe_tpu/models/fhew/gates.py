@@ -82,7 +82,11 @@ def gate(
     ct1: LweCiphertext,
     ct2: LweCiphertext | None = None,
 ) -> LweCiphertext:
-    """Evaluate a named 2- or 3-input gate with one bootstrap."""
+    """Evaluate a named 2- or 3-input gate with one bootstrap. Vectorized
+    ciphertexts (leading lane shape) go through the batched pipeline."""
+    if jnp.ndim(ct0.b) > 0:
+        spec = (name, ct0, ct1) if ct2 is None else (name, ct0, ct1, ct2)
+        return gate_batch(params, key, [spec])[0]
     if name == "majority":
         assert ct2 is not None
         lin = lwe.add(params.lwe_z, lwe.add(params.lwe_z, ct0, ct1), ct2)
@@ -130,10 +134,15 @@ def gate_batch(
     ops; the expensive LUT bootstrap runs once over the stacked batch with
     per-gate LUT polynomials. Circuit semantics are identical to evaluating
     `gate` per spec (`fhew.rs:31-39` per element).
+
+    The input ciphertexts may themselves carry a leading "value lane" batch
+    shape (vectorized encrypted datatypes): all G gate slots x V lanes run
+    as ONE bootstrap of G*V ciphertexts.
     """
     import jax.numpy as jnp
 
-    if len(specs) == 1:
+    lanes = specs[0][1].b.shape  # () for scalar bools, (V,...) for vectors
+    if len(specs) == 1 and lanes == ():
         return [gate(params, key, *specs[0])]
     from ...parallel.batch import fhew_bootstrap_batch
 
@@ -153,9 +162,18 @@ def gate_batch(
             lin = _lin2(params, name, cts[0], cts[1])
         lins.append(lin)
         luts.append(lut_poly(params, GATE_TABLES[name]))
-    batched = LweCiphertext(
-        jnp.stack([l.a for l in lins]), jnp.stack([l.b for l in lins])
-    )
-    out = fhew_bootstrap_batch(params, key, jnp.stack(luts), batched)
+    stacked_a = jnp.stack([l.a for l in lins])  # (G, *lanes, n)
+    stacked_b = jnp.stack([l.b for l in lins])  # (G, *lanes)
+    n_lwe = stacked_a.shape[-1]
+    flat = LweCiphertext(
+        stacked_a.reshape(-1, n_lwe), stacked_b.reshape(-1)
+    )  # (G*V, n)
+    lut_arr = jnp.stack(luts)  # (G, N)
+    if lanes:
+        v = int(np.prod(lanes))
+        lut_arr = jnp.repeat(lut_arr, v, axis=0)  # (G*V, N)
+    out = fhew_bootstrap_batch(params, key, lut_arr, flat)
     b = add_mod(out.b, u64(params.big_q_by_8), params.big_q)
-    return [LweCiphertext(out.a[i], b[i]) for i in range(n_real)]
+    a = out.a.reshape(n_pad, *lanes, n_lwe)
+    b = b.reshape(n_pad, *lanes)
+    return [LweCiphertext(a[i], b[i]) for i in range(n_real)]

@@ -22,10 +22,15 @@ class FhewU8:
     bits: list[FhewBool]  # little-endian, length 8
 
     @classmethod
-    def sk_encrypt(cls, params, key, sk, v: int, rng) -> "FhewU8":
+    def sk_encrypt(cls, params, key, sk, v, rng) -> "FhewU8":
+        """v: int OR an integer array — arrays yield a VECTORIZED encrypted
+        u8 (one FhewU8 holding V values); every gate of every arithmetic op
+        then runs lane-parallel across the V values in one bootstrap, which
+        is how u8 circuits reach the chip's peak gates/s."""
+        v = np.asarray(v, dtype=np.uint64)
         return cls(
             [
-                FhewBool.sk_encrypt(params, key, sk, (v >> i) & 1 == 1, rng)
+                FhewBool.sk_encrypt(params, key, sk, (v >> np.uint64(i)) & 1 == 1, rng)
                 for i in range(8)
             ]
         )
@@ -46,8 +51,11 @@ class FhewU8:
             ]
         )
 
-    def decrypt(self, sk) -> int:
-        return sum(int(b.decrypt(sk)) << i for i, b in enumerate(self.bits))
+    def decrypt(self, sk):
+        """int for scalar, uint array for vectorized encrypted u8."""
+        bits = [np.asarray(b.decrypt(sk)) for b in self.bits]
+        out = sum(b.astype(np.uint64) << np.uint64(i) for i, b in enumerate(bits))
+        return int(out) if np.ndim(out) == 0 else out.astype(np.uint8)
 
     def share_decrypt(self, sk, rng):
         return [b.share_decrypt(sk, rng) for b in self.bits]

@@ -55,3 +55,16 @@ def test_u8_div_rem(u8_env):
     a, b = 180, 7
     q, r = enc(a).div_rem(enc(b))
     assert (q.decrypt(z), r.decrypt(z)) == (a // b, a % b)
+
+
+def test_vectorized_u8(u8_env):
+    """One FhewU8 can hold a VECTOR of values: every gate of add/mul runs
+    lane-parallel across the vector in a single batched bootstrap."""
+    params, z, bk, enc = u8_env
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, size=5).astype(np.uint8)
+    b = rng.integers(1, 256, size=5).astype(np.uint8)
+    ca = FhewU8.sk_encrypt(params, bk, np.asarray(z), a, rng)
+    cb = FhewU8.sk_encrypt(params, bk, np.asarray(z), b, rng)
+    np.testing.assert_array_equal((ca + cb).decrypt(np.asarray(z)), a + b)
+    np.testing.assert_array_equal((ca * cb).decrypt(np.asarray(z)), a * b)
