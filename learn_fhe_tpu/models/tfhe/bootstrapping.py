@@ -6,10 +6,13 @@
     then sample_extract(0) and key-switch back to the LWE key.
 
 TPU-first control flow: unlike FHEW's LMKCDEY walk there is no data-dependent
-branching -- the chain is a clean `lax.scan` over the n stacked TGGSW keys
-with traced monomial rotations (dynamic `jnp.roll`), fully jit-compatible and
-vmap-able over a ciphertext batch axis. Key material lives in the 2-prime NTT
-evaluation domain permanently.
+branching -- the chain is a natively batched `lax.scan` over the n stacked
+TGGSW keys. Each step is restructured as
+acc += (X^{a_i} - 1) (*) ExtProd(brk_i, acc) with the monomial applied
+POINTWISE in the NTT domain (rows gathered from a precomputed public
+evaluation table), so no per-element coefficient gathers exist inside the
+scan (ARCHITECTURE.md section 4). Key material lives permanently in the
+multi-prime u32 CRT evaluation domain with Shoup duals.
 """
 
 from __future__ import annotations

@@ -193,3 +193,34 @@ def test_key_switch_mxu_matches_u64(rng):
         ref_a, ref_b = ref_ks(params, ksk, ct)
         assert np.array_equal(np.asarray(out.a), ref_a), log_b
         assert np.array_equal(np.asarray(out.b), ref_b), log_b
+
+
+def test_pbs_k2_d2(rng):
+    """PBS correctness at k=2 ring components and d=2 gadget digits — shapes
+    the reference fixtures never exercise (`tggsw.rs` supports general k,d)."""
+    from learn_fhe_tpu.models.tfhe import (
+        BootstrapParams,
+        TggswParams,
+        TglweParams,
+        key_gen,
+        lut_table,
+        tglwe,
+    )
+    from learn_fhe_tpu.parallel.batch import tfhe_pbs_batch
+
+    params = BootstrapParams(
+        TlweParams(log_p=2, padding=1, n=16, std_dev=1e-9, log_b=4, d=5),
+        TggswParams(
+            TglweParams(log_p=2, padding=1, big_n=64, k=2, std_dev=1e-11),
+            log_b=12,
+            d=2,
+        ),
+    )
+    z = tlwe.sk_gen(params.tlwe, rng)
+    key = key_gen(params, z, rng)
+    tab = jnp.asarray(lut_table(2, 64, lambda v: (3 * v + 1) % 4))
+    ms = np.arange(8, dtype=np.uint64) % 4
+    cts = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
+    out = tfhe_pbs_batch(params, key, tab, cts)
+    got = np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out)))
+    np.testing.assert_array_equal(got, (3 * ms + 1) % 4)
