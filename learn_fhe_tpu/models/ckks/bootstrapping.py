@@ -44,9 +44,10 @@ def _chunked(mats, r, n):
 class BootstrapKey:
     bp: BootstrapParams
     rtk: dict[int, CkksRotKey]
-    # encoded-diagonal plaintext cache keyed by (id(mat), diag index, level
-    # basis): the sifft encode runs in host double-double arithmetic and
-    # would otherwise dominate repeated CoeffToSlot/SlotToCoeff calls
+    # encoded-diagonal plaintext cache keyed by ((tag, chunk), diag index,
+    # level basis) — stable identifiers, never object ids: the sifft encode
+    # runs in host double-double arithmetic and would otherwise dominate
+    # repeated CoeffToSlot/SlotToCoeff calls
     pt_cache: dict = None
 
     def __post_init__(self):
@@ -68,20 +69,22 @@ def key_gen(bp: BootstrapParams, sk: np.ndarray, rng: np.random.Generator) -> Bo
 
 
 def slot_to_coeff(bk: BootstrapKey, ct: CkksCiphertext) -> CkksCiphertext:
-    return _mul_mats(bk, bk.bp.sfft_mats, ct)
+    return _mul_mats(bk, bk.bp.sfft_mats, ct, "sfft")
 
 
 def coeff_to_slot(bk: BootstrapKey, ct: CkksCiphertext) -> CkksCiphertext:
-    return _mul_mats(bk, bk.bp.sifft_mats, ct)
+    return _mul_mats(bk, bk.bp.sifft_mats, ct, "sifft")
 
 
-def _mul_mats(bk: BootstrapKey, mats, ct: CkksCiphertext) -> CkksCiphertext:
-    for mat in reversed(mats):
-        ct = _mul_mat(bk, mat, ct)
+def _mul_mats(bk: BootstrapKey, mats, ct: CkksCiphertext, tag: str) -> CkksCiphertext:
+    for chunk, mat in reversed(list(enumerate(mats))):
+        ct = _mul_mat(bk, mat, ct, (tag, chunk))
     return ct
 
 
-def _mul_mat(bk: BootstrapKey, mat: dict[int, DDC], ct: CkksCiphertext) -> CkksCiphertext:
+def _mul_mat(
+    bk: BootstrapKey, mat: dict[int, DDC], ct: CkksCiphertext, mat_key: tuple
+) -> CkksCiphertext:
     """BSGS: baby rotations of ct, diag-rotated constant muls, giant-step
     rotation of partial sums (`bootstrapping.rs:90-108`)."""
     params = bk.bp.params
@@ -96,7 +99,7 @@ def _mul_mat(bk: BootstrapKey, mat: dict[int, DDC], ct: CkksCiphertext) -> CkksC
     for i, jss in plan.items():
         partial = None
         for j in jss:
-            key = (id(mat), (i + j) % params.l, i, ct.qs)
+            key = (mat_key, (i + j) % params.l, i, ct.qs)
             pt = bk.pt_cache.get(key)
             if pt is None:
                 diag = mat[(i + j) % params.l].roll(i)  # rot_iter(-i)

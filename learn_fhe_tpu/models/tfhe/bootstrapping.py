@@ -116,11 +116,20 @@ def blind_rotate(
         jnp.zeros((*batch, k, params.big_n), dtype=jnp.uint64),
         jnp.broadcast_to(v_encoded, (*batch, params.big_n)),
     )
-    # one-time initial rotation by X^{-b} (outside the hot loop)
+    # one-time initial rotation by X^{-b} (outside the hot loop).
+    # tglwe.rotate needs a scalar shift, so flatten any leading batch dims
+    # to one axis, vmap once, and restore the shape.
     neg_b = (-b2n) % n2
     if batch:
-        rot = jax.vmap(tglwe.rotate) if len(batch) == 1 else tglwe.rotate
-        acc0 = rot(acc0, neg_b)
+        flat = TglweCiphertext(
+            acc0.a.reshape(-1, k, params.big_n),
+            acc0.b.reshape(-1, params.big_n),
+        )
+        rot = jax.vmap(tglwe.rotate)(flat, neg_b.reshape(-1))
+        acc0 = TglweCiphertext(
+            rot.a.reshape(*batch, k, params.big_n),
+            rot.b.reshape(*batch, params.big_n),
+        )
     else:
         acc0 = tglwe.rotate(acc0, neg_b)
 

@@ -224,3 +224,16 @@ def test_pbs_k2_d2(rng):
     out = tfhe_pbs_batch(params, key, tab, cts)
     got = np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out)))
     np.testing.assert_array_equal(got, (3 * ms + 1) % 4)
+
+def test_pbs_2d_batch(pbs_env):
+    """blind_rotate with a 2-D leading batch shape: the documented `(...,)`
+    batch signature beyond the 1-D case tfhe_pbs_batch flattens to."""
+    params, z, bk, rng = pbs_env
+    p = params.tlwe.p
+    tab = jnp.asarray(lut_table(params.tlwe.log_p, params.big_n, lambda v: v))
+    ms = (np.arange(6, dtype=np.uint64) % p).reshape(2, 3)
+    ct = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
+    out = bootstrap(params, bk, tab, ct)
+    got = np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out)))
+    assert got.shape == (2, 3)
+    np.testing.assert_array_equal(got, ms)
