@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 exports shard_map at top level; experimental is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def party_mesh(n_parties: int | None = None, devices=None) -> Mesh:
@@ -42,7 +46,9 @@ def merge_shares(mesh: Mesh, shares: jnp.ndarray, q: int) -> jnp.ndarray:
     share payload over ICI — the collective equivalent of the reference's
     sequential merge loops (`lwe.rs:228-237`, `rlwe.rs:316-323`).
     """
-    assert shares.shape[0] == mesh.shape["party"]
+    # multiple shares per device are folded locally before the psum, so the
+    # party count only needs to tile the mesh axis
+    assert shares.shape[0] % mesh.shape["party"] == 0
     n_parties = shares.shape[0]
     assert n_parties * (q - 1) < (1 << 64), "raw u64 psum would overflow"
 
@@ -54,7 +60,18 @@ def merge_shares(mesh: Mesh, shares: jnp.ndarray, q: int) -> jnp.ndarray:
     )
     def _merge(local):  # (P/n_devices, ...)
         part = jnp.sum(local, axis=0, dtype=jnp.uint64)
-        total = jax.lax.psum(part, axis_name="party")
+        # The TPU AOT compiler only lowers all-reduces whose region is a
+        # plain native-dtype add — u64 (emulated from u32 pairs) is rejected
+        # ("Supported lowering only of Sum all reduce", observed on v5e).
+        # psum four 16-bit pieces on native u32 lanes instead: exact for up
+        # to 2^16 devices, and the wrapping-u64 recombine is the exact sum.
+        pieces = jnp.stack(
+            [(part >> np.uint64(16 * k)).astype(jnp.uint32) & np.uint32(0xFFFF) for k in range(4)]
+        )
+        tot = jax.lax.psum(pieces, axis_name="party")  # (4, ...), replicated
+        total = tot[0].astype(jnp.uint64)
+        for k in range(1, 4):
+            total = total + (tot[k].astype(jnp.uint64) << np.uint64(16 * k))
         return total % np.uint64(q)
 
     return _merge(jnp.asarray(shares, dtype=jnp.uint64))
