@@ -120,24 +120,30 @@ def rns_plan(qs: tuple[int, ...], n: int) -> RnsPlan:
     )
 
 
-def rns_ntt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
-    """Forward NTT over the trailing axis, batched over (..., L); radix-4
-    fused passes (two layers per memory pass — the pipelines are HBM-bound,
-    measurement in ops/ntt32.py)."""
-    n = plan.n
-    if n == 1:
-        return u64(a)
-    batch = a.shape[:-1]
-    out = u64(a)
-    q = jnp.asarray(plan.q_arr)  # (L, 1)
+def fwd_stages(out, psi_br, psi_br_shoup, q):
+    """DIT forward butterfly chain over the trailing axis, batched over
+    (..., L); radix-4 fused passes (two layers per memory pass — the
+    pipelines are HBM-bound, measurement in ops/ntt32.py).
+
+    Tables are (L, n)-indexable arrays: numpy constants from a plan, or
+    traced per-shard gathers for the coefficient-sharded transform
+    (parallel/coef.py builds compact per-device tables with this same
+    layout); `q` is (L, 1).
+    """
+    n = out.shape[-1]
+    log_n = n.bit_length() - 1
+    batch = out.shape[:-1]
+
+    def tab(t, lo, hi, scale):
+        return t[:, lo:hi]
 
     def r2(out, layer):
         m = 1 << layer
         half = n >> (layer + 1)
         x = out.reshape(*batch, m, 2, half)
         uu, vv = x[..., 0, :], x[..., 1, :]
-        t = plan.psi_br[:, m : 2 * m][:, :, None]
-        ts = plan.psi_br_shoup[:, m : 2 * m][:, :, None]
+        t = tab(psi_br, m, 2 * m, m)[:, :, None]
+        ts = tab(psi_br_shoup, m, 2 * m, m)[:, :, None]
         qq = q[:, None, :]
         tv = mul_shoup_v(vv, t, ts, qq)
         return jnp.stack(
@@ -150,10 +156,10 @@ def rns_ntt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
         x = out.reshape(*batch, m, 4, quarter)
         x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
         qq = q[:, None, :]
-        w1 = plan.psi_br[:, m : 2 * m][:, :, None]
-        w1s = plan.psi_br_shoup[:, m : 2 * m][:, :, None]
-        w2 = plan.psi_br[:, 2 * m : 4 * m].reshape(-1, m, 2)
-        w2s = plan.psi_br_shoup[:, 2 * m : 4 * m].reshape(-1, m, 2)
+        w1 = tab(psi_br, m, 2 * m, m)[:, :, None]
+        w1s = tab(psi_br_shoup, m, 2 * m, m)[:, :, None]
+        w2 = tab(psi_br, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
+        w2s = tab(psi_br_shoup, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
         t2 = mul_shoup_v(x2, w1, w1s, qq)
         t3 = mul_shoup_v(x3, w1, w1s, qq)
         a0 = add_mod_v(x0, t2, qq)
@@ -173,30 +179,31 @@ def rns_ntt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
         ).reshape(*batch, n)
 
     layer = 0
-    if plan.log_n % 2:
+    if log_n % 2:
         out = r2(out, 0)
         layer = 1
-    while layer < plan.log_n:
+    while layer < log_n:
         out = r4(out, layer)
         layer += 2
     return out
 
 
-def rns_intt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
-    n = plan.n
-    if n == 1:
-        return u64(a)
-    batch = a.shape[:-1]
-    out = u64(a)
-    q = jnp.asarray(plan.q_arr)
+def inv_stages(out, psi_inv_br, psi_inv_br_shoup, q):
+    """GS inverse butterfly chain (no final n^-1 scale — callers own it)."""
+    n = out.shape[-1]
+    log_n = n.bit_length() - 1
+    batch = out.shape[:-1]
+
+    def tab(t, lo, hi, scale):
+        return t[:, lo:hi]
 
     def r2i(out, layer):
         m = 1 << layer
         half = n >> (layer + 1)
         x = out.reshape(*batch, m, 2, half)
         uu, vv = x[..., 0, :], x[..., 1, :]
-        t = plan.psi_inv_br[:, m : 2 * m][:, :, None]
-        ts = plan.psi_inv_br_shoup[:, m : 2 * m][:, :, None]
+        t = tab(psi_inv_br, m, 2 * m, m)[:, :, None]
+        ts = tab(psi_inv_br_shoup, m, 2 * m, m)[:, :, None]
         qq = q[:, None, :]
         s = add_mod_v(uu, vv, qq)
         d = mul_shoup_v(sub_mod_v(uu, vv, qq), t, ts, qq)
@@ -208,10 +215,10 @@ def rns_intt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
         x = out.reshape(*batch, m, 4, quarter)
         x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
         qq = q[:, None, :]
-        wi1 = plan.psi_inv_br[:, m : 2 * m][:, :, None]
-        wi1s = plan.psi_inv_br_shoup[:, m : 2 * m][:, :, None]
-        wi2 = plan.psi_inv_br[:, 2 * m : 4 * m].reshape(-1, m, 2)
-        wi2s = plan.psi_inv_br_shoup[:, 2 * m : 4 * m].reshape(-1, m, 2)
+        wi1 = tab(psi_inv_br, m, 2 * m, m)[:, :, None]
+        wi1s = tab(psi_inv_br_shoup, m, 2 * m, m)[:, :, None]
+        wi2 = tab(psi_inv_br, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
+        wi2s = tab(psi_inv_br_shoup, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
         a0 = add_mod_v(x0, x1, qq)
         a1 = mul_shoup_v(sub_mod_v(x0, x1, qq), wi2[:, :, 0:1], wi2s[:, :, 0:1], qq)
         b0 = add_mod_v(x2, x3, qq)
@@ -226,12 +233,29 @@ def rns_intt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
             axis=-2,
         ).reshape(*batch, n)
 
-    layer = plan.log_n - 2
-    while layer >= (1 if plan.log_n % 2 else 0):
+    layer = log_n - 2
+    while layer >= (1 if log_n % 2 else 0):
         out = r4i(out, layer)
         layer -= 2
-    if plan.log_n % 2:
+    if log_n % 2:
         out = r2i(out, 0)
+    return out
+
+
+def rns_ntt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
+    """Forward NTT over the trailing axis, batched over (..., L)."""
+    if plan.n == 1:
+        return u64(a)
+    return fwd_stages(
+        u64(a), plan.psi_br, plan.psi_br_shoup, jnp.asarray(plan.q_arr)
+    )
+
+
+def rns_intt(a: jnp.ndarray, plan: RnsPlan) -> jnp.ndarray:
+    if plan.n == 1:
+        return u64(a)
+    q = jnp.asarray(plan.q_arr)
+    out = inv_stages(u64(a), plan.psi_inv_br, plan.psi_inv_br_shoup, q)
     return mul_shoup_v(
         out, jnp.asarray(plan.n_inv), jnp.asarray(plan.n_inv_shoup), q
     )
@@ -282,8 +306,13 @@ class BaseExtendPlan:
     q_hats_inv: np.ndarray  # (Lq, 1) q_hat_i^-1 mod q_i
     q_hats_inv_shoup: np.ndarray
     q_fracs: np.ndarray  # (Lq, 1) f64 1/q_i
-    q_hats_ps: np.ndarray  # (Lp, Lq) q_hat_i mod p_j
-    uq_ps: np.ndarray  # (Lp, Lq+1) (u*Q) mod p_j
+    q_hats_ps: np.ndarray  # (Lp, Lq, 1) q_hat_i mod p_j
+    uq_ps_t: np.ndarray  # (Lq+1, Lp) (u*Q) mod p_j, u-major for one gather
+    # stacked output-prime constants, shape (Lp, 1)
+    p_arr: np.ndarray
+    neg_p_inv: np.ndarray  # -p^-1 mod 2^64 (REDC)
+    p_r2: np.ndarray  # 2^128 mod p
+    p_barrett_m: np.ndarray  # floor(2^64 / p)
 
 
 @lru_cache(maxsize=None)
@@ -299,6 +328,7 @@ def base_extend_plan(qs: tuple[int, ...], ps: tuple[int, ...]) -> BaseExtendPlan
     qhi_shoup = np.stack(
         [shoup_precompute(int(h), q) for h, q in zip(q_hats_inv, qs)]
     ).reshape(-1, 1)
+    col = lambda vals: np.array(vals, dtype=np.uint64)[:, None]
     return BaseExtendPlan(
         qs=qs,
         ps=ps,
@@ -307,11 +337,15 @@ def base_extend_plan(qs: tuple[int, ...], ps: tuple[int, ...]) -> BaseExtendPlan
         q_fracs=np.array([1.0 / q for q in qs], dtype=np.float64)[:, None],
         q_hats_ps=np.array(
             [[h % p for h in q_hats] for p in ps], dtype=np.uint64
-        ),
-        uq_ps=np.array(
-            [[(u * big_q) % p for u in range(len(qs) + 1)] for p in ps],
+        )[:, :, None],
+        uq_ps_t=np.array(
+            [[(u * big_q) % p for p in ps] for u in range(len(qs) + 1)],
             dtype=np.uint64,
         ),
+        p_arr=col(ps),
+        neg_p_inv=col([(-pow(p, -1, 1 << 64)) % (1 << 64) for p in ps]),
+        p_r2=col([(1 << 128) % p for p in ps]),
+        p_barrett_m=col([(1 << 64) // p for p in ps]),
     )
 
 
@@ -320,6 +354,12 @@ def extend_bases(x: jnp.ndarray, qs: tuple[int, ...], ps: tuple[int, ...]) -> jn
 
     v~_i = x_i * q_hat_i^-1 mod q_i; u = round(sum v~_i / q_i) in f64;
     out_j = sum_i (q_hat_i mod p_j) * v~_i - (u*Q mod p_j).
+
+    One stacked contraction serves every output prime: the (Lp, Lq, N)
+    broadcast-product feeds straight into the limb-axis reduction so XLA keeps
+    it in registers/VMEM (one fused kernel, one pass over v) instead of Lp
+    separate dispatches.  No per-prime pre-reduction is needed: Montgomery
+    REDC is exact for any a*b < p*2^64, and v_i < q_i < 2^63 guarantees that.
     """
     bp = base_extend_plan(qs, ps)
     q_arr = jnp.asarray(np.array(qs, dtype=np.uint64)[:, None])
@@ -330,18 +370,37 @@ def extend_bases(x: jnp.ndarray, qs: tuple[int, ...], ps: tuple[int, ...]) -> jn
         jnp.sum(v.astype(jnp.float64) * jnp.asarray(bp.q_fracs), axis=-2)
     ).astype(jnp.int64)  # (..., N)
 
-    # out_j = sum_i hat_ij * v_i mod p_j  (general modmul then modular sum)
-    outs = []
-    for j, p in enumerate(ps):
-        from .modular import ZqParams, mul_mod, sum_mod
-
-        zp = ZqParams(p)
-        vp = barrett_all(v, p)  # v_i mod p (v_i < q_i may exceed p)
-        terms = mul_mod(vp, jnp.asarray(bp.q_hats_ps[j])[:, None], zp)
-        s = sum_mod(terms, p, axis=-2)  # (..., N)
-        corr = jnp.asarray(bp.uq_ps[j])[u_cnt]  # gather (..., N)
-        outs.append(sub_mod_scalar(s, corr, p))
-    return jnp.stack(outs, axis=-2)
+    # out_j = sum_i hat_ij * v_i mod p_j: stacked (Lp, 1, 1) constants against
+    # v broadcast over a new output-prime axis.
+    p3 = jnp.asarray(bp.p_arr)[:, :, None]  # (Lp, 1, 1)
+    terms = mul_mod_v(
+        v[..., None, :, :],  # (..., 1, Lq, N)
+        jnp.asarray(bp.q_hats_ps),  # (Lp, Lq, 1)
+        p3,
+        jnp.asarray(bp.neg_p_inv)[:, :, None],
+        jnp.asarray(bp.p_r2)[:, :, None],
+    )  # (..., Lp, Lq, N), each term < p_j
+    lq, lp = len(qs), len(ps)
+    p_arr = jnp.asarray(bp.p_arr)  # (Lp, 1)
+    if lq * (max(ps) - 1) < (1 << 64):
+        s = jnp.sum(terms, axis=-2)  # raw u64, no overflow
+        # vectorized Barrett: r = s - floor(s/p)*p with two corrections
+        hi = mulhi64(s, jnp.asarray(bp.p_barrett_m))
+        r = s - hi * p_arr
+        r = jnp.minimum(r, r - p_arr)
+        s = jnp.minimum(r, r - p_arr)
+    else:  # log-depth modular fold (unreachable for realistic bases)
+        t = jnp.moveaxis(terms, -2, 0)
+        while t.shape[0] > 1:
+            m = t.shape[0]
+            if m % 2:
+                t = jnp.concatenate([t, jnp.zeros_like(t[:1])], axis=0)
+                m += 1
+            s2 = t[: m // 2] + t[m // 2 :]
+            t = jnp.minimum(s2, s2 - p_arr)
+        s = t[0]
+    corr = jnp.moveaxis(jnp.asarray(bp.uq_ps_t)[u_cnt], -1, -2)  # (..., Lp, N)
+    return sub_mod_v(s, corr, p_arr)
 
 
 def barrett_all(v, p: int):
