@@ -254,3 +254,144 @@ def test_tfhe_pbs_batch_chunked(tfhe_env, monkeypatch):
     out = batch_mod.tfhe_pbs_batch(params, bk, tab, cts)
     got = np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out)))
     np.testing.assert_array_equal(got, (ms + 1) % 4)
+
+
+def test_ckks_key_switch_limb_sharded(rng):
+    """The REAL cross-limb collective: CKKS rotate (hence key_switch ->
+    extend_bases over the q-limbs + rescale_k(len(ps)) -> switch_bases over
+    the p-limbs) with the RNS limb axis sharded over 8 devices, bit-identical
+    to the unsharded result (`rns.rs:83-132,331-345` are the serial
+    counterparts of these contractions)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from learn_fhe_tpu.models.ckks import ckks as C
+
+    params = C.CkksParams(log_n=5, log_qi=45, big_l=8)  # 8 q-limbs + 8 p-limbs
+    sk = C.sk_gen(params, rng)
+    rtk = C.rtk_gen(params, sk, 3, rng)
+    m = rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+
+    ref = C.rotate(params, rtk, ct)
+
+    mesh = make_mesh(n_batch=1, n_limb=8)
+    limb_sharding = NamedSharding(mesh, P(None, "limb", None))
+
+    def shard_limbs(x):  # (L, N) -> limb axis over the mesh
+        return jax.device_put(x, NamedSharding(mesh, P("limb", None)))
+
+    ct_s = C.CkksCiphertext(shard_limbs(ct.b), shard_limbs(ct.a), ct.qs)
+    ksk_s = C.CkksKeySwitchingKey(
+        shard_limbs(rtk.ksk.b), shard_limbs(rtk.ksk.a), rtk.ksk.qs
+    )
+    out = C.rotate(params, C.CkksRotKey(ksk_s, rtk.j), ct_s)
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    # and the decrypt is still the rotated message
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    assert np.max(np.abs(got - np.roll(m, -3))) < 1e-6
+
+
+def test_ckks_mul_relin_limb_sharded(rng):
+    """mul (tensor + relinearize + rescale) with limbs sharded: covers
+    key_switch inside mul plus rescale_k(1)'s non-collective branch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from learn_fhe_tpu.models.ckks import ckks as C
+
+    params = C.CkksParams(log_n=5, log_qi=45, big_l=8)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    m0 = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 0.5
+    m1 = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 0.5
+    ct0 = C.sk_encrypt(params, sk, C.encode(params, m0), params.qs, rng)
+    ct1 = C.sk_encrypt(params, sk, C.encode(params, m1), params.qs, rng)
+    ref = C.mul(params, rlk, ct0, ct1)
+
+    mesh = make_mesh(n_batch=1, n_limb=8)
+
+    def shard_limbs(x):
+        return jax.device_put(x, NamedSharding(mesh, P("limb", None)))
+
+    ct0_s = C.CkksCiphertext(shard_limbs(ct0.b), shard_limbs(ct0.a), ct0.qs)
+    ct1_s = C.CkksCiphertext(shard_limbs(ct1.b), shard_limbs(ct1.a), ct1.qs)
+    rlk_s = C.CkksKeySwitchingKey(
+        shard_limbs(rlk.b), shard_limbs(rlk.a), rlk.qs
+    )
+    out = C.mul(params, rlk_s, ct0_s, ct1_s)
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    assert np.max(np.abs(got - m0 * m1)) < 1e-5
+
+
+class TestCoefShardedNtt:
+    """Coefficient-axis (N) sharded NTT: the butterfly stages split over the
+    mesh, cross-shard layers exchanged with ppermute (`fft.rs:40-77` is the
+    serial analogue). Must be BIT-IDENTICAL to the single-device transform."""
+
+    def _qs(self, log_n, k=2):
+        from learn_fhe_tpu.utils.primes import two_adic_primes
+        from itertools import islice
+
+        return tuple(islice(two_adic_primes(45, log_n + 1), k))
+
+    def test_forward_inverse_roundtrip_vs_unsharded(self, rng):
+        from learn_fhe_tpu.ops.rns import rns_intt, rns_ntt, rns_plan
+        from learn_fhe_tpu.parallel.coef import (
+            coef_mesh,
+            coef_sharded_intt,
+            coef_sharded_ntt,
+            shard_coef,
+        )
+
+        log_n, n = 9, 512
+        qs = self._qs(log_n)
+        plan = rns_plan(qs, n)
+        mesh = coef_mesh(8)
+        x = np.stack([rng.integers(0, q, size=n, dtype=np.uint64) for q in qs])
+        ref_eval = np.asarray(rns_ntt(jnp.asarray(x), plan))
+        xs = shard_coef(mesh, jnp.asarray(x))
+        got_eval = np.asarray(coef_sharded_ntt(mesh, xs, qs))
+        np.testing.assert_array_equal(got_eval, ref_eval)
+        back = np.asarray(coef_sharded_intt(mesh, shard_coef(mesh, jnp.asarray(ref_eval)), qs))
+        np.testing.assert_array_equal(back, x)
+        np.testing.assert_array_equal(
+            np.asarray(rns_intt(jnp.asarray(ref_eval), plan)), back
+        )
+
+    @pytest.mark.parametrize("d", [2, 4, 8])
+    def test_mul_matches_unsharded_all_widths(self, rng, d):
+        from learn_fhe_tpu.ops.rns import rns_mul, rns_plan
+        from learn_fhe_tpu.parallel.coef import coef_mesh, coef_sharded_mul, shard_coef
+
+        log_n, n = 8, 256
+        qs = self._qs(log_n, k=3)
+        plan = rns_plan(qs, n)
+        mesh = coef_mesh(d)
+        a = np.stack([rng.integers(0, q, size=n, dtype=np.uint64) for q in qs])
+        b = np.stack([rng.integers(0, q, size=n, dtype=np.uint64) for q in qs])
+        ref = np.asarray(rns_mul(jnp.asarray(a), jnp.asarray(b), plan))
+        got = np.asarray(
+            coef_sharded_mul(mesh, shard_coef(mesh, jnp.asarray(a)), shard_coef(mesh, jnp.asarray(b)), qs)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_mul_large_n_with_batch(self, rng):
+        """CKKS production shape: N=2^13, a leading batch axis rides along."""
+        from learn_fhe_tpu.ops.rns import rns_mul, rns_plan
+        from learn_fhe_tpu.parallel.coef import coef_mesh, coef_sharded_mul, shard_coef
+
+        log_n, n = 13, 8192
+        qs = self._qs(log_n, k=2)
+        plan = rns_plan(qs, n)
+        mesh = coef_mesh(8)
+        a = np.stack(
+            [np.stack([rng.integers(0, q, size=n, dtype=np.uint64) for q in qs])] * 2
+        )  # (2, L, N)
+        b = a[::-1].copy()
+        ref = np.asarray(rns_mul(jnp.asarray(a), jnp.asarray(b), plan))
+        got = np.asarray(
+            coef_sharded_mul(mesh, shard_coef(mesh, jnp.asarray(a)), shard_coef(mesh, jnp.asarray(b)), qs)
+        )
+        np.testing.assert_array_equal(got, ref)
