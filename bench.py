@@ -31,18 +31,22 @@ def main():
     ap.add_argument(
         "--smoke", action="store_true", help="tiny params on CPU for a fast check"
     )
-    ap.add_argument("--metric", choices=["tfhe", "fhew", "ckks"], default="tfhe")
+    ap.add_argument("--metric", choices=["tfhe", "fhew", "ckks", "ntt"], default="tfhe")
     args = ap.parse_args()
+
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.metric == "fhew":
         return bench_fhew(args)
     if args.metric == "ckks":
         return bench_ckks(args)
+    if args.metric == "ntt":
+        return bench_ntt(args)
 
     import jax
-
-    if args.smoke:
-        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -219,6 +223,85 @@ def bench_fhew(args):
     print(
         f"# fhew q={q} N=512 n=100 batch={B} keygen={keygen_s:.1f}s "
         f"compile={compile_s:.1f}s steady={dt:.2f}s device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+def bench_ntt(args):
+    """Negacyclic polymuls/sec/chip at N=2^14 (BASELINE.json's kernel-level
+    metric), u64 and u32 engines, with the %-of-HBM-roofline each achieves.
+
+    Roofline model: the transform is HBM-bandwidth bound (ARCHITECTURE §5) —
+    radix-4 fused passes touch the whole (B, N) array ceil(log2(N)/2) times
+    (read+write); one polymul = 3 transforms + a pointwise pass + the chain's
+    mixing add. v5e HBM ~819 GB/s. Iterations are chained inside one jit with
+    data dependencies (per-call tunnel timings are unreliable, CLAUDE.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.ops.ntt import negacyclic_mul, ntt_plan
+    from learn_fhe_tpu.ops.ntt32 import negacyclic_mul32, ntt32_plan
+    from learn_fhe_tpu.ops.modular import add_mod
+    from learn_fhe_tpu.ops.modular32 import add_mod32
+    from learn_fhe_tpu.utils.primes import two_adic_primes
+
+    rng = np.random.default_rng(0)
+    log_n, n = 14, 1 << 14
+    B = 32 if not args.smoke else 4
+    K = 10 if not args.smoke else 2
+    reps = max(args.iters, 3)
+    hbm_bw = 819e9  # v5e HBM GB/s (public spec)
+    passes = (log_n + 1) // 2  # radix-4 fused: two layers per memory pass
+
+    def roofline(itemsize):
+        bytes_per_poly = itemsize * n * (3 * 2 * passes + 3 + 3)
+        return hbm_bw / bytes_per_poly
+
+    results = {}
+    for name, log_q, plan_fn, mul_fn, add_fn, dtype in (
+        ("u64", 55, ntt_plan, negacyclic_mul, add_mod, np.uint64),
+        ("u32", 31, ntt32_plan, negacyclic_mul32, add_mod32, np.uint32),
+    ):
+        q = next(two_adic_primes(log_q, log_n + 1))
+        plan = plan_fn(q, n)
+        a = jnp.asarray(rng.integers(0, q, size=(B, n), dtype=dtype))
+        b = jnp.asarray(rng.integers(0, q, size=(B, n), dtype=dtype))
+
+        def body(i, ab, mul_fn=mul_fn, add_fn=add_fn, plan=plan, q=q):
+            x, y = ab
+            c = mul_fn(x, y, plan)
+            return (c, add_fn(y, c, dtype(q)))
+
+        f = jax.jit(lambda a, b: jax.lax.fori_loop(0, K, body, (a, b)))
+        out = jax.block_until_ready(f(a, b))  # compile + warm
+        t0 = time.time()
+        for _ in range(reps):
+            out = f(*out)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        pps = B * K * reps / dt
+        results[name] = (pps, pps / roofline(np.dtype(dtype).itemsize))
+
+    pps64, frac64 = results["u64"]
+    pps32, frac32 = results["u32"]
+    print(
+        json.dumps(
+            {
+                "metric": "ntt_2e14_polymuls_per_sec_per_chip",
+                "value": round(pps64, 1),
+                "unit": "polymuls/s",
+                "vs_baseline": round(frac64, 4),  # 1.0 == HBM roofline
+            }
+        )
+    )
+    import sys
+
+    print(
+        f"# ntt N=2^14 batch={B} chain={K} reps={reps}: u64 {pps64:.0f}/s "
+        f"({100*frac64:.0f}% of HBM roofline {roofline(8):.0f}/s), "
+        f"u32 {pps32:.0f}/s ({100*frac32:.0f}% of roofline {roofline(4):.0f}/s), "
+        f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
