@@ -26,7 +26,7 @@ PER_CHIP_BASELINE = 125.0  # 1000 PBS/sec / 8 chips (BASELINE.json north star)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None)  # per-metric defaults
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
         "--smoke", action="store_true", help="tiny params on CPU for a fast check"
@@ -95,7 +95,7 @@ def main():
 
     tab = lut_table(params.tlwe.log_p, params.big_n, lambda v: v)
     v_enc = tglwe.encode(params.tglwe, jnp.asarray(tab))
-    B = args.batch
+    B = args.batch or 128
     ms = rng.integers(0, params.tlwe.p, size=B).astype(np.uint64)
     cts = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
     a2n, b2n = mod_switch_2n(cts, params.big_n)
@@ -187,7 +187,7 @@ def bench_fhew(args):
     jax.block_until_ready(key.brk_a)
     keygen_s = time.time() - t0
 
-    B = args.batch
+    B = args.batch or 128
     m0 = rng.integers(0, 2, size=B)
     m1 = rng.integers(0, 2, size=B)
     lz = params.lwe_z
@@ -248,7 +248,7 @@ def bench_ntt(args):
 
     rng = np.random.default_rng(0)
     log_n, n = 14, 1 << 14
-    B = 32 if not args.smoke else 4
+    B = (args.batch or 256) if not args.smoke else 4
     K = 10 if not args.smoke else 2
     reps = max(args.iters, 3)
     hbm_bw = 819e9  # v5e HBM GB/s (public spec)
