@@ -1,8 +1,9 @@
 """FhewU8 arithmetic vs native u8 semantics (`uint8.rs:255-338`).
 
-Each u8 op costs tens-to-hundreds of bootstraps, so we check one or two value
-pairs per op rather than the reference's random sweeps; the underlying gates
-are already exhaustively tested in test_fhew.py.
+The reference sweeps random pairs against native u8; the vectorized value
+lanes make that nearly free here — every op runs a 64-lane random sweep
+(div/rem includes the b=1, a<b, a=0 edge lanes) in ONE sequence of batched
+bootstraps. Scalar spot-checks remain for the scalar API path.
 """
 
 import numpy as np
@@ -49,7 +50,6 @@ def test_u8_mul(u8_env):
     assert enc(a).wrapping_mul(enc(b)).decrypt(z) == (a * b) % 256
 
 
-@pytest.mark.slow
 def test_u8_div_rem(u8_env):
     params, z, bk, enc = u8_env
     a, b = 180, 7
@@ -68,3 +68,46 @@ def test_vectorized_u8(u8_env):
     cb = FhewU8.sk_encrypt(params, bk, np.asarray(z), b, rng)
     np.testing.assert_array_equal((ca + cb).decrypt(np.asarray(z)), a + b)
     np.testing.assert_array_equal((ca * cb).decrypt(np.asarray(z)), a * b)
+
+
+@pytest.fixture(scope="module")
+def u8_lanes(u8_env):
+    """64 random value-pairs as ONE vectorized FhewU8 pair, with the div/rem
+    edge cases (a=0, a<b, b=1, a=b=255) pinned into the first lanes."""
+    params, z, bk, enc = u8_env
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=64).astype(np.uint8)
+    b = rng.integers(1, 256, size=64).astype(np.uint8)  # div-safe divisors
+    a[0], b[0] = 0, 7
+    a[1], b[1] = 5, 200
+    a[2], b[2] = 123, 1
+    a[3], b[3] = 255, 255
+    ca = FhewU8.sk_encrypt(params, bk, np.asarray(z), a, rng)
+    cb = FhewU8.sk_encrypt(params, bk, np.asarray(z), b, rng)
+    return z, a, b, ca, cb
+
+
+def test_u8_sweep_add_sub_neg(u8_lanes):
+    z, a, b, ca, cb = u8_lanes
+    ai, bi = a.astype(int), b.astype(int)
+    sk = np.asarray(z)
+    np.testing.assert_array_equal((ca + cb).decrypt(sk), (ai + bi) % 256)
+    np.testing.assert_array_equal((ca - cb).decrypt(sk), (ai - bi) % 256)
+    np.testing.assert_array_equal(ca.wrapping_neg().decrypt(sk), (-ai) % 256)
+    s, c = ca.overflowing_add(cb)
+    np.testing.assert_array_equal(s.decrypt(sk), (ai + bi) % 256)
+    np.testing.assert_array_equal(np.asarray(c.decrypt(sk)), ai + bi > 255)
+
+
+def test_u8_sweep_mul(u8_lanes):
+    z, a, b, ca, cb = u8_lanes
+    got = (ca * cb).decrypt(np.asarray(z))
+    np.testing.assert_array_equal(got, (a.astype(int) * b.astype(int)) % 256)
+
+
+def test_u8_sweep_div_rem(u8_lanes):
+    z, a, b, ca, cb = u8_lanes
+    q, r = ca.div_rem(cb)
+    sk = np.asarray(z)
+    np.testing.assert_array_equal(q.decrypt(sk), a.astype(int) // b.astype(int))
+    np.testing.assert_array_equal(r.decrypt(sk), a.astype(int) % b.astype(int))
