@@ -291,6 +291,14 @@ def fuse_schedule(ops: np.ndarray, idxs: np.ndarray) -> tuple[np.ndarray, np.nda
     ops2 = ops.reshape(-1, ops.shape[-1])
     idxs2 = idxs.reshape(-1, idxs.shape[-1])
     B, L = ops2.shape
+    from ...utils import native as _native
+
+    native_out = _native.fuse_schedule(ops2, idxs2)
+    if native_out is not None:
+        e_out, a_out, max_len = native_out
+        L2 = max(1, min(L, -(-max_len // 32) * 32))
+        shape = (*ops.shape[:-1], L2)
+        return e_out[:, :L2].reshape(shape), a_out[:, :L2].reshape(shape)
     e_out = np.full((B, L), -1, dtype=np.int32)
     a_out = np.full((B, L), -1, dtype=np.int32)
     max_len = 0

@@ -67,6 +67,12 @@ def _lib():
         _int, ctypes.POINTER(_i32), ctypes.POINTER(_i32), _i64,
     ]
     lib.build_schedule.restype = _int
+    if hasattr(lib, "fuse_schedule"):  # older .so builds lack it
+        lib.fuse_schedule.argtypes = [
+            ctypes.POINTER(_i32), ctypes.POINTER(_i32), _i64, _i64,
+            ctypes.POINTER(_i32), ctypes.POINTER(_i32),
+        ]
+        lib.fuse_schedule.restype = _i64
     return lib
 
 
@@ -187,3 +193,23 @@ def build_schedule(
         raise AssertionError("schedule overflow or value in both dlog tables")
     shape = (*a.shape[:-1], sched_len)
     return ops.reshape(shape), idxs.reshape(shape)
+
+
+def fuse_schedule(
+    ops: np.ndarray, idxs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Batched schedule fusion (auto rides with the preceding ext run);
+    returns (e_out, a_out, max_len) flat over (B, L), or None if the .so
+    is unavailable/old (caller falls back to the Python loop)."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "fuse_schedule"):
+        return None
+    ops = np.ascontiguousarray(ops, dtype=np.int32)
+    idxs = np.ascontiguousarray(idxs, dtype=np.int32)
+    B, L = ops.shape
+    e_out = np.empty((B, L), dtype=np.int32)
+    a_out = np.empty((B, L), dtype=np.int32)
+    max_len = lib.fuse_schedule(
+        _ptr(ops, _i32), _ptr(idxs, _i32), B, L, _ptr(e_out, _i32), _ptr(a_out, _i32)
+    )
+    return e_out, a_out, int(max_len)

@@ -224,4 +224,45 @@ int build_schedule(const i64* a, i64 batch, i64 n_lwe, i64 two_n,
   return 0;
 }
 
+// Fuse each automorphism into the preceding external-product step (the
+// batched-walk cost model: steps are the cost, so runs of ext ops carry the
+// following auto for free). Mirrors fuse_schedule in
+// models/fhew/bootstrapping.py exactly. ops/idxs: (batch, sched_len) i32 as
+// emitted by build_schedule (op 0 = ext, 1 = auto, 2 = noop tail padding).
+// e_out/a_out: (batch, sched_len) i32, filled with -1 then the fused pairs.
+// Returns the maximum fused length across the batch.
+i64 fuse_schedule(const int32_t* ops, const int32_t* idxs, i64 batch,
+                  i64 sched_len, int32_t* e_out, int32_t* a_out) {
+  i64 max_len = 0;
+  for (i64 b = 0; b < batch; ++b) {
+    const int32_t* op_row = ops + b * sched_len;
+    const int32_t* idx_row = idxs + b * sched_len;
+    int32_t* e_row = e_out + b * sched_len;
+    int32_t* a_row = a_out + b * sched_len;
+    for (i64 t = 0; t < sched_len; ++t) { e_row[t] = -1; a_row[t] = -1; }
+    i64 k = 0;
+    bool open_ext = false;
+    for (i64 t = 0; t < sched_len; ++t) {
+      const int32_t op = op_row[t];
+      if (op == 0) {
+        e_row[k] = idx_row[t];
+        open_ext = true;
+        ++k;
+      } else if (op == 1) {
+        if (open_ext) {
+          a_row[k - 1] = idx_row[t];
+          open_ext = false;
+        } else {
+          a_row[k] = idx_row[t];
+          ++k;
+        }
+      } else {
+        break;  // noop padding: schedules pad only at the tail
+      }
+    }
+    if (k > max_len) max_len = k;
+  }
+  return max_len;
+}
+
 }  // extern "C"
