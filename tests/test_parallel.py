@@ -395,3 +395,47 @@ class TestCoefShardedNtt:
             coef_sharded_mul(mesh, shard_coef(mesh, jnp.asarray(a)), shard_coef(mesh, jnp.asarray(b)), qs)
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_noise_profilers_pin_growth(rng):
+    """Noise observability subsystem (SURVEY §5): the gate-chain profiler
+    must show DEPTH-INDEPENDENT budgets (each gate bootstraps, so noise
+    resets — measured ~8-9 worst-lane bits at these params for any depth),
+    and the PBS profiler a bounded fresh->post drop."""
+    from learn_fhe_tpu.models.fhew import (
+        BootstrapParams as FP, LweParams, RgswParams, RlweParams, key_gen as fkg, rlwe,
+    )
+    from learn_fhe_tpu.models.tfhe import (
+        BootstrapParams as TBP, TggswParams, TglweParams, TlweParams, key_gen as tkg, tlwe,
+    )
+    from learn_fhe_tpu.utils.noise import fhew_gate_chain_profile, tfhe_pbs_io_profile
+    from learn_fhe_tpu.utils.primes import two_adic_primes
+
+    q = next(two_adic_primes(28, 8))
+    params = FP(
+        RgswParams(RlweParams(q=q, p=4, log_n=7, log_b=7, d=4), log_b=7, d=4),
+        LweParams(q=1 << 16, p=4, n=16, log_b=4, d=4),
+        w=5,
+    )
+    sk = rlwe.sk_gen(params.rlwe, rng)
+    bk = fkg(params, sk, rng)
+    log = fhew_gate_chain_profile(params, bk, sk, depth=5, rng=rng)
+    bits = log.bits()
+    assert bits[0] > 15, log.summary()  # fresh headroom
+    gate_bits = bits[1:]
+    assert all(4 < b < 15 for b in gate_bits), log.summary()
+    assert max(gate_bits) - min(gate_bits) < 6, log.summary()  # depth-independent
+
+    tparams = TBP(
+        TlweParams(log_p=2, padding=1, n=64, std_dev=1.34e-7, log_b=4, d=5),
+        TggswParams(
+            TglweParams(log_p=2, padding=1, big_n=256, k=1, std_dev=2.85e-15),
+            log_b=23,
+            d=1,
+        ),
+    )
+    z = tlwe.sk_gen(tparams.tlwe, rng)
+    tbk = tkg(tparams, z, rng)
+    tlog = tfhe_pbs_io_profile(tparams, tbk, z, rng)
+    tb = tlog.bits()
+    assert tb[0] > 12 and 5 < tb[1] < 15, tlog.summary()
