@@ -64,13 +64,16 @@ def main():
 
     n_parties = 2
     t0 = time.time()
+    stamp = lambda msg: print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
     crs = crs_gen(params, rng)
     sks = [rlwe.sk_gen(params.rlwe, rng) for _ in range(n_parties)]
     pk_shares = [rlwe.pk_share_gen(params.rlwe, crs.pk_a, sk, rng) for sk in sks]
     pk = rlwe.pk_share_merge(params.rlwe, crs.pk_a, pk_shares)
+    stamp("crs + pk shares merged")
     key_shares = [key_share_gen(params, crs, sk, pk, rng) for sk in sks]
+    stamp("per-party key shares generated")
     bk = key_share_merge(params, crs, key_shares)
-    print(f"[{time.time()-t0:7.1f}s] 2-party key setup merged")
+    stamp("2-party key setup merged")
 
     a, b = args.a % 256, args.b % 256
     ct_a = FhewU8.pk_encrypt(params, bk, pk, a, rng)

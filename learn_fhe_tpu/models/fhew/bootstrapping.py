@@ -296,7 +296,7 @@ def fuse_schedule(ops: np.ndarray, idxs: np.ndarray) -> tuple[np.ndarray, np.nda
     native_out = _native.fuse_schedule(ops2, idxs2)
     if native_out is not None:
         e_out, a_out, max_len = native_out
-        L2 = max(1, min(L, -(-max_len // 32) * 32))
+        L2 = _trim_len(max_len, L)
         shape = (*ops.shape[:-1], L2)
         return e_out[:, :L2].reshape(shape), a_out[:, :L2].reshape(shape)
     e_out = np.full((B, L), -1, dtype=np.int32)
@@ -321,9 +321,19 @@ def fuse_schedule(ops: np.ndarray, idxs: np.ndarray) -> tuple[np.ndarray, np.nda
             else:  # NOOP padding: schedules pad only at the tail
                 break
         max_len = max(max_len, k)
-    L2 = max(1, min(L, -(-max_len // 32) * 32))
+    L2 = _trim_len(max_len, L)
     shape = (*ops.shape[:-1], L2)
     return e_out[:, :L2].reshape(shape), a_out[:, :L2].reshape(shape)
+
+
+def _trim_len(max_len: int, L: int) -> int:
+    """Quantize the trimmed schedule length so the jit cache sees FEW distinct
+    scan lengths: every distinct length is a full pipeline recompile (~30-60 s
+    through the remote compile helper at production params), which dwarfs the
+    cost of a few masked noop steps. Buckets of ~L/16 (min 32) put all
+    realistic batches of one parameter set in 1-2 shapes."""
+    step = max(32, 1 << max(5, (L.bit_length() - 4)))
+    return max(1, min(L, -(-max_len // step) * step))
 
 
 # -- device blind rotation -----------------------------------------------------

@@ -82,17 +82,11 @@ def gate(
     ct1: LweCiphertext,
     ct2: LweCiphertext | None = None,
 ) -> LweCiphertext:
-    """Evaluate a named 2- or 3-input gate with one bootstrap. Vectorized
-    ciphertexts (leading lane shape) go through the batched pipeline."""
-    if jnp.ndim(ct0.b) > 0:
-        spec = (name, ct0, ct1) if ct2 is None else (name, ct0, ct1, ct2)
-        return gate_batch(params, key, [spec])[0]
-    if name == "majority":
-        assert ct2 is not None
-        lin = lwe.add(params.lwe_z, lwe.add(params.lwe_z, ct0, ct1), ct2)
-    else:
-        lin = _lin2(params, name, ct0, ct1)
-    return op(params, key, GATE_TABLES[name], lin)
+    """Evaluate a named 2- or 3-input gate with one bootstrap — always via
+    the batched pipeline (scalar gates ride as G=1) so every gate in a
+    circuit shares the same few compiled shapes."""
+    spec = (name, ct0, ct1) if ct2 is None else (name, ct0, ct1, ct2)
+    return gate_batch(params, key, [spec])[0]
 
 
 def and_(p, k, a, b):
@@ -142,8 +136,10 @@ def gate_batch(
     import jax.numpy as jnp
 
     lanes = specs[0][1].b.shape  # () for scalar bools, (V,...) for vectors
-    if len(specs) == 1 and lanes == ():
-        return [gate(params, key, *specs[0])]
+    # NOTE: single scalar gates deliberately go through this batched path too
+    # (G=1): routing them to the unbatched bootstrap() would compile a whole
+    # second pipeline (~30-60 s each at production params via the remote
+    # compile helper) for no runtime benefit.
     from ...parallel.batch import fhew_bootstrap_batch
 
     # pad to the next power of two so the jit cache sees few distinct batch
