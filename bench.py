@@ -31,7 +31,9 @@ def main():
     ap.add_argument(
         "--smoke", action="store_true", help="tiny params on CPU for a fast check"
     )
-    ap.add_argument("--metric", choices=["tfhe", "fhew", "ckks", "ntt"], default="tfhe")
+    ap.add_argument(
+        "--metric", choices=["tfhe", "fhew", "ckks", "ntt", "scaling"], default="tfhe"
+    )
     args = ap.parse_args()
 
     if args.smoke:
@@ -45,6 +47,8 @@ def main():
         return bench_ckks(args)
     if args.metric == "ntt":
         return bench_ntt(args)
+    if args.metric == "scaling":
+        return bench_scaling(args)
 
     import jax
 
@@ -302,6 +306,98 @@ def bench_ntt(args):
         f"({100*frac64:.0f}% of HBM roofline {roofline(8):.0f}/s), "
         f"u32 {pps32:.0f}/s ({100*frac32:.0f}% of roofline {roofline(4):.0f}/s), "
         f"device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+def bench_scaling(args):
+    """Ops/s scaling-efficiency harness (BASELINE metric "scaling eff at
+    1 chip / 1 host / >=2 hosts"): batched TFHE PBS throughput at 1/2/4/8
+    mesh devices, batch sharded over 'batch'.
+
+    On real multi-chip hardware this measures ICI scaling; in this image only
+    one TPU chip is reachable, so the harness runs on a virtual 8-device CPU
+    mesh by default (pass --device tpu-like envs when a pod slice exists).
+    The printed efficiency is throughput(D) / (D * throughput(1)).
+    """
+    import os
+
+    # must win before any backend init: force a CPU mesh with 8 devices
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.models.tfhe import (
+        BootstrapParams,
+        TggswParams,
+        TglweParams,
+        TlweParams,
+        key_gen,
+        lut_table,
+        tglwe,
+        tlwe,
+    )
+    from learn_fhe_tpu.models.tfhe.bootstrapping import mod_switch_2n
+    from learn_fhe_tpu.parallel.batch import tfhe_pbs_batch_device
+    from learn_fhe_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    rng = np.random.default_rng(0)
+    params = BootstrapParams(
+        TlweParams(log_p=2, padding=1, n=64, std_dev=1.34e-7, log_b=4, d=5),
+        TggswParams(
+            TglweParams(log_p=2, padding=1, big_n=256, k=1, std_dev=2.85e-15),
+            log_b=23,
+            d=1,
+        ),
+    )
+    z = tlwe.sk_gen(params.tlwe, rng)
+    key = key_gen(params, z, rng)
+    tab = lut_table(2, 256, lambda v: v)
+    v_enc = tglwe.encode(params.tglwe, jnp.asarray(tab))
+    B = args.batch or 64
+    ms = rng.integers(0, 4, size=B).astype(np.uint64)
+    cts = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
+    a2n, b2n = mod_switch_2n(cts, params.big_n)
+
+    results = {}
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > jax.device_count():
+            break
+        mesh = make_mesh(n_batch=n_dev, n_limb=1, devices=jax.devices()[:n_dev])
+        key_r = jax.tree.map(lambda x: replicate(mesh, x), key)
+        v_r = replicate(mesh, v_enc)
+        a_s, b_s = shard_batch(mesh, a2n), shard_batch(mesh, b2n)
+        out = tfhe_pbs_batch_device(params, key_r, v_r, a_s, b_s)  # compile+warm
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = tfhe_pbs_batch_device(params, key_r, v_r, a_s, b_s)
+        jax.block_until_ready(out)
+        results[n_dev] = B * args.iters / (time.time() - t0)
+    base = results[1]
+    eff8 = results.get(8, results[max(results)]) / (max(results) * base)
+    print(
+        json.dumps(
+            {
+                "metric": "tfhe_pbs_scaling_efficiency_8dev",
+                "value": round(eff8, 4),
+                "unit": "throughput(D)/(D*throughput(1))",
+                "vs_baseline": round(eff8, 4),
+            }
+        )
+    )
+    import sys
+
+    print(
+        "# scaling "
+        + ", ".join(
+            f"{d}dev {v:.0f}/s (eff {v / (d * base):.2f})" for d, v in results.items()
+        )
+        + f" batch={B} platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
