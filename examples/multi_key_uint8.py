@@ -65,6 +65,13 @@ def main():
     n_parties = 2
     t0 = time.time()
     stamp = lambda msg: print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
+
+    # fire the gate-pipeline compiles NOW on background threads: the remote
+    # compile helper overlaps requests and caches externally, so by the time
+    # the circuit below needs a pipeline it's a cache hit (utils/warmup.py)
+    from learn_fhe_tpu.models.fhew.warmup import prewarm_gate_pipelines
+
+    warm_futs = prewarm_gate_pipelines(params)
     crs = crs_gen(params, rng)
     sks = [rlwe.sk_gen(params.rlwe, rng) for _ in range(n_parties)]
     pk_shares = [rlwe.pk_share_gen(params.rlwe, crs.pk_a, sk, rng) for sk in sks]
@@ -74,6 +81,10 @@ def main():
     stamp("per-party key shares generated")
     bk = key_share_merge(params, crs, key_shares)
     stamp("2-party key setup merged")
+    from learn_fhe_tpu.utils.warmup import wait_all
+
+    errs = wait_all(warm_futs)
+    stamp(f"gate pipelines warm ({len(warm_futs)} programs, {len(errs)} errors)")
 
     a, b = args.a % 256, args.b % 256
     ct_a = FhewU8.pk_encrypt(params, bk, pk, a, rng)

@@ -566,6 +566,19 @@ def key_share_gen(
     return BootstrapKeyShare(ksk_b, brk, ak_b)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _merge_chunk(rgsw_params, merged_a, merged_b, share_a, share_b):
+    """One jitted program per chunk shape: the eager per-op dispatch of the
+    internal-product pipeline cost ~hundreds of tiny remote compiles before
+    this wrapper existed (every device op must live inside a params-static
+    jit — CLAUDE.md rule 1, measured again here)."""
+    key_ev = rgsw.to_eval(rgsw_params, rgsw.RgswCiphertext(merged_a, merged_b))
+    out = rgsw.internal_product(
+        rgsw_params, key_ev, rgsw.RgswCiphertext(share_a, share_b)
+    )
+    return out.a, out.b
+
+
 def key_share_merge(
     params: BootstrapParams,
     crs: BootstrapCrs,
@@ -586,20 +599,18 @@ def key_share_merge(
         outs = []
         for lo in range(0, n_keys, chunk):
             hi = lo + chunk
-            key_ev = rgsw.to_eval(
-                params.rgsw,
-                rgsw.RgswCiphertext(merged.a[lo:hi], merged.b[lo:hi]),
-            )
             outs.append(
-                rgsw.internal_product(
+                _merge_chunk(
                     params.rgsw,
-                    key_ev,
-                    rgsw.RgswCiphertext(s.brk.a[lo:hi], s.brk.b[lo:hi]),
+                    merged.a[lo:hi],
+                    merged.b[lo:hi],
+                    s.brk.a[lo:hi],
+                    s.brk.b[lo:hi],
                 )
             )
         merged = rgsw.RgswCiphertext(
-            jnp.concatenate([o.a for o in outs], axis=0),
-            jnp.concatenate([o.b for o in outs], axis=0),
+            jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0),
         )
     brk_eval = rgsw.to_eval(params.rgsw, merged)
     ak_ksks = []

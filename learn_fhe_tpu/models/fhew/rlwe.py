@@ -270,9 +270,15 @@ def share_encrypt(
     rng: np.random.Generator,
 ) -> jnp.ndarray:
     """b-share = a*sk + e + pt under common a (`rlwe.rs:239-249`)."""
-    pt = u64(pt)
-    e = from_i64(jnp.asarray(dg(3.2, 6, rng, pt.shape)), params.q)
-    sk_q = from_i64(jnp.asarray(sk), params.q)
+    e_i64 = jnp.asarray(dg(3.2, 6, rng, u64(pt).shape))
+    sk_i64 = jnp.asarray(np.asarray(sk, dtype=np.int64))
+    return _share_encrypt_core(params, u64(a), sk_i64, e_i64, u64(pt))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _share_encrypt_core(params: RlweParams, a, sk_i64, e_i64, pt):
+    e = from_i64(e_i64, params.q)
+    sk_q = from_i64(sk_i64, params.q)
     return add_mod(
         add_mod(negacyclic_mul(a, sk_q, params.plan), e, params.q), pt, params.q
     )

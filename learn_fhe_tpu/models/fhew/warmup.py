@@ -1,0 +1,110 @@
+"""FHEW pipeline prewarming: compile the gate-bootstrap programs for a
+parameter set CONCURRENTLY, before (or while) key material exists.
+
+Rationale (measured, utils/warmup.py): each distinct program costs ~10 s in
+the remote compile helper but requests overlap, and the compile cache is
+process-external — so lowering every (batch, schedule-bucket) pipeline shape
+from abstract ShapeDtypeStructs on background threads turns a circuit's cold
+compiles into cache hits. A u8 expression at production params spent more
+wall-clock in serial cold compiles than in compute before this existed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...utils.warmup import prewarm
+from .bootstrapping import BootstrapKey, BootstrapParams, _trim_len, build_schedule, fuse_schedule
+from .lwe import LweCiphertext
+
+
+def _sds(shape, dtype):
+    import jax
+
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def abstract_key(params: BootstrapParams) -> BootstrapKey:
+    """The BootstrapKey's array shapes/dtypes as ShapeDtypeStructs."""
+    import jax.numpy as jnp
+
+    n_ring = params.n
+    n_lwe = params.lwe_s.n
+    d_ks = params.lwe_s.gadget.d
+    d = params.rgsw.d
+    d_r = params.rlwe.d
+    w1 = len(params.ak_t)
+    u32 = params.rgsw.use_u32
+    val = jnp.uint32 if u32 else jnp.uint64
+    dual = (lambda s: _sds(s, jnp.uint32)) if u32 else (lambda s: None)
+    return BootstrapKey(
+        ksk_a=_sds((d_ks, n_ring, n_lwe), jnp.uint64),
+        ksk_b=_sds((d_ks, n_ring), jnp.uint64),
+        brk_a=_sds((n_lwe, 2 * d, n_ring), val),
+        brk_b=_sds((n_lwe, 2 * d, n_ring), val),
+        ak_a=_sds((w1, d_r, n_ring), val),
+        ak_b=_sds((w1, d_r, n_ring), val),
+        auto_src=_sds((w1, n_ring), jnp.int64),
+        auto_sign=_sds((w1, n_ring), jnp.bool_),
+        brk_ad=dual((n_lwe, 2 * d, n_ring)),
+        brk_bd=dual((n_lwe, 2 * d, n_ring)),
+        ak_ad=dual((w1, d_r, n_ring)),
+        ak_bd=dual((w1, d_r, n_ring)),
+    )
+
+
+def likely_fused_lens(
+    params: BootstrapParams, batches, trials: int = 6, seed: int = 0
+) -> list[int]:
+    """Predict which schedule-length buckets real batches will land in by
+    fusing schedules for random post-mod-switch masks (odd values of Z_2N —
+    exactly the image of mod_switch_odd, all of which have discrete logs)."""
+    rng = np.random.default_rng(seed)
+    two_n = params.q
+    lens: set[int] = set()
+    for b in sorted({1, max(batches)}):
+        for _ in range(trials):
+            a = rng.integers(0, two_n // 2, size=(b, params.lwe_s.n)) * 2 + 1
+            zero = rng.random(a.shape) < 0.01
+            a[zero] = 0
+            ops, idxs = build_schedule(params, a.astype(np.int64))
+            e_idx, _ = fuse_schedule(ops, idxs)
+            lens.add(e_idx.shape[-1])
+    return sorted(lens)
+
+
+def prewarm_gate_pipelines(
+    params: BootstrapParams, batches=(1, 2, 4, 8, 16, 64), lens=None
+):
+    """Fire background compiles of the gate-bootstrap pipelines for every
+    (batch, fused-schedule-bucket) shape a circuit at `params` will hit.
+    Returns the futures (fire-and-forget is fine; utils.warmup.wait_all to
+    sync). Call right after constructing params — compiles overlap keygen."""
+    import jax.numpy as jnp
+
+    from ...parallel.batch import _fhew_preamble, fhew_blind_rotate_batch_device
+
+    key_abs = abstract_key(params)
+    lens = likely_fused_lens(params, batches) if lens is None else lens
+    n_ring = params.n
+    thunks = []
+    for b in batches:
+        thunks.append(
+            lambda b=b: _fhew_preamble.lower(
+                params,
+                key_abs,
+                _sds((b, n_ring), jnp.uint64),
+                LweCiphertext(_sds((b, n_ring), jnp.uint64), _sds((b,), jnp.uint64)),
+            ).compile()
+        )
+        for L2 in lens:
+            thunks.append(
+                lambda b=b, L2=L2: fhew_blind_rotate_batch_device.lower(
+                    params,
+                    key_abs,
+                    _sds((b, n_ring), jnp.uint64),
+                    _sds((b, L2), jnp.int32),
+                    _sds((b, L2), jnp.int32),
+                ).compile()
+            )
+    return prewarm(thunks)
