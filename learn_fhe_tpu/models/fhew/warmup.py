@@ -54,15 +54,18 @@ def abstract_key(params: BootstrapParams) -> BootstrapKey:
 
 
 def likely_fused_lens(
-    params: BootstrapParams, batches, trials: int = 6, seed: int = 0
+    params: BootstrapParams, batches, trials: int = 16, seed: int = 0
 ) -> list[int]:
     """Predict which schedule-length buckets real batches will land in by
     fusing schedules for random post-mod-switch masks (odd values of Z_2N —
-    exactly the image of mod_switch_odd, all of which have discrete logs)."""
+    exactly the image of mod_switch_odd, all of which have discrete logs).
+    The sampled buckets' immediate neighbors are included too: one missed
+    bucket costs a ~10-60 s cold compile mid-circuit, one extra warm costs
+    ~10 s on a background thread."""
     rng = np.random.default_rng(seed)
     two_n = params.q
     lens: set[int] = set()
-    for b in sorted({1, max(batches)}):
+    for b in sorted({1, min(8, max(batches)), max(batches)}):
         for _ in range(trials):
             a = rng.integers(0, two_n // 2, size=(b, params.lwe_s.n)) * 2 + 1
             zero = rng.random(a.shape) < 0.01
@@ -70,11 +73,17 @@ def likely_fused_lens(
             ops, idxs = build_schedule(params, a.astype(np.int64))
             e_idx, _ = fuse_schedule(ops, idxs)
             lens.add(e_idx.shape[-1])
+    L = params.schedule_len
+    step = max(32, 1 << max(5, (L.bit_length() - 4)))
+    for l in list(lens):
+        for nb in (l - step, l + step):
+            if nb >= step:
+                lens.add(_trim_len(nb, L))
     return sorted(lens)
 
 
 def prewarm_gate_pipelines(
-    params: BootstrapParams, batches=(1, 2, 4, 8, 16, 64), lens=None
+    params: BootstrapParams, batches=(1, 2, 4, 8, 16, 32, 64), lens=None
 ):
     """Fire background compiles of the gate-bootstrap pipelines for every
     (batch, fused-schedule-bucket) shape a circuit at `params` will hit.
