@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...utils.warmup import prewarm
-from .bootstrapping import BootstrapKey, BootstrapParams, _trim_len, build_schedule, fuse_schedule
+from .bootstrapping import BootstrapKey, BootstrapParams, build_schedule, fuse_schedule
 from .lwe import LweCiphertext
 
 
@@ -59,9 +59,10 @@ def likely_fused_lens(
     """Predict which schedule-length buckets real batches will land in by
     fusing schedules for random post-mod-switch masks (odd values of Z_2N —
     exactly the image of mod_switch_odd, all of which have discrete logs).
-    The sampled buckets' immediate neighbors are included too: one missed
-    bucket costs a ~10-60 s cold compile mid-circuit, one extra warm costs
-    ~10 s on a background thread."""
+
+    Keep this set TIGHT: warm programs queue in the same remote compile
+    helper as the real path's, and over-warming starves it (measured: a
+    49-program warm set made key setup 4x slower than an 18-program one)."""
     rng = np.random.default_rng(seed)
     two_n = params.q
     lens: set[int] = set()
@@ -73,17 +74,11 @@ def likely_fused_lens(
             ops, idxs = build_schedule(params, a.astype(np.int64))
             e_idx, _ = fuse_schedule(ops, idxs)
             lens.add(e_idx.shape[-1])
-    L = params.schedule_len
-    step = max(32, 1 << max(5, (L.bit_length() - 4)))
-    for l in list(lens):
-        for nb in (l - step, l + step):
-            if nb >= step:
-                lens.add(_trim_len(nb, L))
     return sorted(lens)
 
 
 def prewarm_gate_pipelines(
-    params: BootstrapParams, batches=(1, 2, 4, 8, 16, 32, 64), lens=None
+    params: BootstrapParams, batches=(1, 2, 4, 8, 16, 64), lens=None
 ):
     """Fire background compiles of the gate-bootstrap pipelines for every
     (batch, fused-schedule-bucket) shape a circuit at `params` will hit.
