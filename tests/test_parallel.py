@@ -439,3 +439,20 @@ def test_noise_profilers_pin_growth(rng):
     tlog = tfhe_pbs_io_profile(tparams, tbk, z, rng)
     tb = tlog.bits()
     assert tb[0] > 12 and 5 < tb[1] < 15, tlog.summary()
+
+
+def test_distributed_single_process_degenerates():
+    """init_distributed is a no-op without a coordinator; global_mesh builds
+    the standard ('batch','limb') mesh over the local device list."""
+    from learn_fhe_tpu.parallel.distributed import global_mesh, init_distributed
+
+    assert init_distributed() is False  # single-process in this environment
+    mesh = global_mesh(n_limb=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"batch": 4, "limb": 2}
+    # a sharded op over that mesh runs (collectives path sanity)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jnp.arange(8, dtype=jnp.uint64)
+    xs = jax.device_put(x, NamedSharding(mesh, P("batch")))
+    assert int(jnp.sum(xs)) == 28
