@@ -66,12 +66,15 @@ def main():
     t0 = time.time()
     stamp = lambda msg: print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
 
-    # fire the gate-pipeline compiles NOW on background threads: the remote
-    # compile helper overlaps requests and caches externally, so by the time
-    # the circuit below needs a pipeline it's a cache hit (utils/warmup.py)
-    from learn_fhe_tpu.models.fhew.warmup import prewarm_gate_pipelines
+    # fire the setup + gate-pipeline compiles NOW on background threads: the
+    # remote compile helper overlaps requests and caches externally, so by
+    # the time each phase needs its program it's a cache hit (utils/warmup.py)
+    from learn_fhe_tpu.models.fhew.warmup import (
+        prewarm_gate_pipelines,
+        prewarm_multikey_setup,
+    )
 
-    warm_futs = prewarm_gate_pipelines(params)
+    warm_futs = prewarm_multikey_setup(params) + prewarm_gate_pipelines(params)
     crs = crs_gen(params, rng)
     sks = [rlwe.sk_gen(params.rlwe, rng) for _ in range(n_parties)]
     pk_shares = [rlwe.pk_share_gen(params.rlwe, crs.pk_a, sk, rng) for sk in sks]

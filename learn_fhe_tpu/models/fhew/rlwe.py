@@ -145,6 +145,7 @@ def decrypt(params: RlweParams, sk: np.ndarray, ct: RlweCiphertext) -> jnp.ndarr
 # -- key switching / automorphism / extraction -------------------------------
 
 
+@partial(jax.jit, static_argnums=(0,))
 def _to_eval_mont(params: RlweParams, x: jnp.ndarray) -> jnp.ndarray:
     return to_montgomery(ntt(x, params.plan), params.plan.zq)
 

@@ -77,6 +77,55 @@ def likely_fused_lens(
     return sorted(lens)
 
 
+def prewarm_multikey_setup(params: BootstrapParams, n_lwe_chunk: int = 64):
+    """Fire background compiles of the multi-key SETUP programs (share
+    encryption cores, the RGSW pk-encrypt core at the full brk shape, the
+    merge chunk, eval residency) so they overlap the host-side sampling and
+    each other instead of compiling serially on first use. Submit BEFORE
+    prewarm_gate_pipelines — these are needed first."""
+    import jax.numpy as jnp
+
+    from . import rgsw
+    from .bootstrapping import _merge_chunk
+    from .rlwe import _pk_encrypt_core, _share_encrypt_core, _to_eval_mont
+
+    rp = params.rlwe
+    n_ring = params.n
+    n_lwe = params.lwe_s.n
+    two_d = 2 * params.rgsw.d
+    d_r = rp.d
+    u64_ = jnp.uint64
+    i64_ = jnp.int64
+    chunk = min(n_lwe, n_lwe_chunk)
+    big = (n_lwe, two_d, n_ring)
+
+    thunks = [
+        # pk / ak / ksk share encryption cores
+        lambda: _share_encrypt_core.lower(
+            rp, _sds((n_ring,), u64_), _sds((n_ring,), i64_),
+            _sds((n_ring,), i64_), _sds((n_ring,), u64_),
+        ).compile(),
+        lambda: _share_encrypt_core.lower(
+            rp, _sds((d_r, n_ring), u64_), _sds((n_ring,), i64_),
+            _sds((d_r, n_ring), i64_), _sds((d_r, n_ring), u64_),
+        ).compile(),
+        # brk pk-encryption at the full (n_lwe, 2d, N) shape
+        lambda: _pk_encrypt_core.lower(
+            rp, _sds((n_ring,), u64_), _sds((n_ring,), u64_),
+            _sds(big, u64_), _sds(big, u64_), _sds(big, u64_), _sds(big, u64_),
+        ).compile(),
+        # RGSW internal-product merge chunk + final eval residency
+        lambda: _merge_chunk.lower(
+            params.rgsw, *(_sds((chunk, two_d, n_ring), u64_),) * 4
+        ).compile(),
+        lambda: rgsw.to_eval.lower(
+            params.rgsw, rgsw.RgswCiphertext(_sds(big, u64_), _sds(big, u64_))
+        ).compile(),
+        lambda: _to_eval_mont.lower(rp, _sds((d_r, n_ring), u64_)).compile(),
+    ]
+    return prewarm(thunks)
+
+
 def prewarm_gate_pipelines(
     params: BootstrapParams, batches=(1, 2, 4, 8, 16, 64), lens=None
 ):
