@@ -30,8 +30,11 @@ from ...ops.rns import (
     rescale_k,
     rns_add,
     rns_from_i64,
+    rns_intt,
     rns_mul,
+    rns_mul_eval,
     rns_neg,
+    rns_ntt,
     rns_plan,
     rns_sub,
     sub_mod_v,
@@ -113,9 +116,12 @@ class CkksCiphertext:
 )
 @dataclass(frozen=True)
 class CkksKeySwitchingKey:
-    """Ciphertext over the full QP basis encrypting P * sk'."""
+    """Ciphertext over the full QP basis encrypting P * sk', stored in the
+    EVALUATION basis (eval-basis key residency, like the FHEW/TFHE keys):
+    key_switch multiplies it pointwise against NTT(a_ext), saving the two
+    (2L, N) forward key transforms every switch would otherwise redo."""
 
-    b: jnp.ndarray  # (2L, N)
+    b: jnp.ndarray  # (2L, N), NTT domain
     a: jnp.ndarray
     qs: tuple
 
@@ -210,10 +216,17 @@ def _ksk_pt(params: CkksParams, sk_prime_i64: jnp.ndarray) -> jnp.ndarray:
 def ksk_gen(
     params: CkksParams, sk: np.ndarray, sk_prime: np.ndarray, rng: np.random.Generator
 ) -> CkksKeySwitchingKey:
-    """ksk = enc_{QP}(P * sk') (`ckks.rs:154-162`)."""
+    """ksk = enc_{QP}(P * sk') (`ckks.rs:154-162`), moved into eval residency."""
     pt = _ksk_pt(params, jnp.asarray(np.asarray(sk_prime, dtype=np.int64)))
     ct = sk_encrypt(params, sk, pt, params.qps, rng)
-    return CkksKeySwitchingKey(ct.b, ct.a, params.qps)
+    b_eval, a_eval = _ksk_to_eval(params, ct.b, ct.a)
+    return CkksKeySwitchingKey(b_eval, a_eval, params.qps)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _ksk_to_eval(params: CkksParams, b, a):
+    plan = params.plan(params.qps)
+    return rns_ntt(b, plan), rns_ntt(a, plan)
 
 
 def rlk_gen(params: CkksParams, sk: np.ndarray, rng) -> CkksKeySwitchingKey:
@@ -337,12 +350,24 @@ def mul_constant(params: CkksParams, m, ct: CkksCiphertext) -> CkksCiphertext:
 def mul(
     params: CkksParams, rlk: CkksKeySwitchingKey, ct0: CkksCiphertext, ct1: CkksCiphertext
 ) -> CkksCiphertext:
-    """Tensor + relinearize + rescale (`ckks.rs:255-267`)."""
+    """Tensor + relinearize + rescale (`ckks.rs:255-267`).
+
+    The four operands are transformed ONCE and the tensor products run
+    pointwise in the evaluation basis (7 transforms instead of the naive
+    12); NTT/INTT are Zq-linear, so summing d1's two products before the
+    single inverse transform is bit-identical to the per-product path."""
     ct0, ct1, qs = _align(ct0, ct1)
     plan = params.plan(qs)
-    d0 = rns_mul(ct0.b, ct1.b, plan)
-    d1 = rns_add(rns_mul(ct0.b, ct1.a, plan), rns_mul(ct0.a, ct1.b, plan), plan)
-    d2 = rns_mul(ct0.a, ct1.a, plan)
+    ea0 = rns_ntt(ct0.a, plan)
+    eb0 = rns_ntt(ct0.b, plan)
+    ea1 = rns_ntt(ct1.a, plan)
+    eb1 = rns_ntt(ct1.b, plan)
+    d0 = rns_intt(rns_mul_eval(eb0, eb1, plan), plan)
+    d1 = rns_intt(
+        rns_add(rns_mul_eval(eb0, ea1, plan), rns_mul_eval(ea0, eb1, plan), plan),
+        plan,
+    )
+    d2 = rns_intt(rns_mul_eval(ea0, ea1, plan), plan)
     relin = key_switch(params, rlk, CkksCiphertext(jnp.zeros_like(d2), d2, qs))
     out = CkksCiphertext(
         rns_add(d0, relin.b, plan), rns_add(d1, relin.a, plan), qs
@@ -381,17 +406,21 @@ def rotate(params: CkksParams, rtk: CkksRotKey, ct: CkksCiphertext) -> CkksCiphe
 def key_switch(
     params: CkksParams, ksk: CkksKeySwitchingKey, ct: CkksCiphertext
 ) -> CkksCiphertext:
-    """extend a to QP, multiply by ksk, rescale P away (`ckks.rs:284-293`)."""
+    """extend a to QP, multiply by ksk, rescale P away (`ckks.rs:284-293`).
+
+    ksk is eval-resident, so the switch costs ONE forward transform of a_ext
+    plus two inverse transforms — the key is never re-transformed."""
     qs = ct.qs
     ps = params.ps
     qps = qs + ps
     plan = params.plan(qps)
     a_ext = jnp.concatenate([ct.a, extend_bases(ct.a, qs, ps)], axis=-2)
+    a_ext_eval = rns_ntt(a_ext, plan)
     # limb-intersection: select matching ksk limbs (qs is a prefix of full qs)
     idx = [params.qps.index(q) for q in qps]
     ksk_b = ksk.b[idx, :]
     ksk_a = ksk.a[idx, :]
-    b = rescale_k(rns_mul(ksk_b, a_ext, plan), qps, len(ps))
-    a = rescale_k(rns_mul(ksk_a, a_ext, plan), qps, len(ps))
+    b = rescale_k(rns_intt(rns_mul_eval(ksk_b, a_ext_eval, plan), plan), qps, len(ps))
+    a = rescale_k(rns_intt(rns_mul_eval(ksk_a, a_ext_eval, plan), plan), qps, len(ps))
     plan_q = params.plan(qs)
     return CkksCiphertext(rns_add(b, ct.b, plan_q), a, qs)
