@@ -1,0 +1,78 @@
+"""Full CKKS bootstrapping (EvalMod) — beyond the reference's scope (its
+bootstrapping.rs stops at the linear transforms). An exhausted ciphertext
+comes back at a usable level carrying the same (small) message.
+"""
+
+import numpy as np
+import pytest
+
+from learn_fhe_tpu.models.ckks import bootstrapping as B
+from learn_fhe_tpu.models.ckks import ckks as C
+from learn_fhe_tpu.models.ckks import evalmod as E
+
+
+def test_mod_raise_phase():
+    """mod_raise embeds the centered bottom-level phase exactly: decrypting
+    the raised ciphertext over Q equals the centered residues mod q0 up to
+    exact q0 multiples (the integer polynomial I the sine removes)."""
+    rng = np.random.default_rng(3)
+    params = C.CkksParams(log_n=5, log_qi=55, big_l=4)
+    sk = C.sk_gen(params, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 0.1
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    low = C.to_level(ct, (params.qs[0],))
+    raised = E.mod_raise(params, low)
+    assert raised.qs == params.qs
+    from learn_fhe_tpu.utils.crt import rns_to_bigints
+
+    q0 = params.qs[0]
+    pt_low = np.asarray(C.decrypt(params, sk, low))
+    vals_low = rns_to_bigints(pt_low, (q0,))  # centered mod q0
+    pt_hi = np.asarray(C.decrypt(params, sk, raised))
+    vals_hi = rns_to_bigints(pt_hi, params.qs)  # centered mod Q
+    diff = (np.array(vals_hi, dtype=object) - np.array(vals_low, dtype=object))
+    I = diff / q0
+    assert all(d % q0 == 0 for d in diff), "phase differs by non-q0 multiple"
+    assert max(abs(int(i)) for i in I) < 20, "wrap count implausibly large"
+
+
+def test_eval_chebyshev_matches_host():
+    """Homomorphic Chebyshev evaluation equals numpy chebval."""
+    rng = np.random.default_rng(5)
+    params = C.CkksParams(log_n=4, log_qi=55, big_l=10)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    t = (rng.random(params.l) - 0.5) * 2  # [-1, 1], real slots
+    ct = C.sk_encrypt(params, sk, C.encode(params, t.astype(np.complex128)), params.qs, rng)
+    coeffs = rng.standard_normal(21) * (0.5 ** np.arange(21))
+    out = E.eval_chebyshev(params, rlk, ct, coeffs)
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    want = np.polynomial.chebyshev.chebval(t, coeffs)
+    err = np.max(np.abs(got - want))
+    assert err < 1e-6, err
+
+
+@pytest.mark.slow
+def test_full_bootstrap_roundtrip():
+    """encrypt -> drop to the last limb -> bootstrap -> decrypt ~ m, with
+    usable levels remaining."""
+    rng = np.random.default_rng(11)
+    params = C.CkksParams(log_n=5, log_qi=55, big_l=20)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    low = C.to_level(ct, (params.qs[0],))
+
+    out = E.bootstrap(params, bk, rlk, cjk, low)
+    assert len(out.qs) >= 2, f"no levels left: {len(out.qs)}"
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = np.max(np.abs(got - m))
+    rel_bits = -np.log2(err / np.max(np.abs(m)))
+    print(f"bootstrap: {len(out.qs)} levels left, abs err {err:.2e}, "
+          f"{rel_bits:.1f} relative bits")
+    assert err < np.max(np.abs(m)) * 0.05, err
