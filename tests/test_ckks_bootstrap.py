@@ -76,3 +76,27 @@ def test_full_bootstrap_roundtrip():
     print(f"bootstrap: {len(out.qs)} levels left, abs err {err:.2e}, "
           f"{rel_bits:.1f} relative bits")
     assert err < np.max(np.abs(m)) * 0.05, err
+
+
+@pytest.mark.slow
+def test_full_bootstrap_larger_ring():
+    """N=128: the wrap count K grows with the secret's hamming weight
+    (~3*sqrt(h)/2 typical); k=24 with one extra double-angle covers it at
+    the same depth+1 (host model: 37.1 bits)."""
+    rng = np.random.default_rng(2)
+    params = C.CkksParams(log_n=7, log_qi=55, big_l=21)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    em = E.EvalModParams(k=24, r=4, degree=34)
+    out = E.bootstrap(params, bk, rlk, cjk, C.to_level(ct, (params.qs[0],)), em)
+    assert len(out.qs) >= 2, len(out.qs)
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = np.max(np.abs(got - m))
+    rel_bits = -np.log2(err / np.max(np.abs(m)))
+    print(f"bootstrap N=128: {len(out.qs)} levels left, {rel_bits:.1f} relative bits")
+    assert err < np.max(np.abs(m)) * 0.05, err
