@@ -40,7 +40,7 @@ from ...ops.rns import (
     sub_mod_v,
 )
 from ...utils.crt import bigints_to_rns, rns_to_bigints
-from ...utils.dd import DDC, dd_scalar_from_int
+from ...utils.dd import DDC
 from ...utils.distributions import dg, uniform_zq, zo
 from ...utils.primes import two_adic_primes
 from .sfft import sfft, sifft
@@ -176,6 +176,19 @@ def sk_gen(params: CkksParams, rng: np.random.Generator) -> np.ndarray:
     return zo(0.5, rng, params.n)
 
 
+def sk_gen_sparse(params: CkksParams, h: int, rng: np.random.Generator) -> np.ndarray:
+    """Sparse ternary secret with Hamming weight exactly h (HEAAN bootstrap
+    practice, eprint 2018/153 §6 — NOT in the reference, which only
+    bootstraps the linear half and never needs it): the mod-raise wrap count
+    K scales with sqrt(h), so a fixed h keeps EvalMod's sine range (and its
+    Chebyshev degree/depth) independent of the ring size N."""
+    assert 0 < h <= params.n
+    sk = np.zeros(params.n, dtype=np.int64)
+    idx = rng.choice(params.n, size=h, replace=False)
+    sk[idx] = rng.choice(np.array([-1, 1]), size=h)
+    return sk
+
+
 def pk_gen(params: CkksParams, sk: np.ndarray, rng: np.random.Generator) -> CkksCiphertext:
     zero = jnp.zeros((len(params.qs), params.n), dtype=jnp.uint64)
     return sk_encrypt(params, sk, zero, params.qs, rng)
@@ -244,29 +257,54 @@ def rtk_gen(params: CkksParams, sk: np.ndarray, j: int, rng) -> CkksRotKey:
     return CkksRotKey(ksk_gen(params, sk, sk_rot, rng), j)
 
 
-# -- encode / decode (host, double-double; `ckks.rs:186-213`) ------------------
+# -- encode / decode (host; `ckks.rs:186-213`) ---------------------------------
+#
+# Two precision backends, both host-only like the reference's F256 endpoints:
+#   "dd"   — double-double (~106 bits, utils/dd.py), the fast default; covers
+#            every reference test budget with >50 bits of margin.
+#   "f256" — 256-bit fixed point (utils/f256.py), the drop-in equivalent of the
+#            reference's F256 (`util/src/complex/f256.rs`) for precision-floor
+#            work and scales beyond double-double's reach.
 
 
-def encode(params: CkksParams, m, qs: tuple | None = None) -> jnp.ndarray:
-    """m: (l,) complex (np.complex128 or DDC) -> RNS plaintext (L, N)."""
+def _lift(m, precision: str):
+    if isinstance(m, DDC):
+        return m
+    from ...utils.f256 import FPC
+
+    if isinstance(m, FPC):
+        return m
+    if precision == "f256":
+        return FPC.from_complex(m)
+    return DDC.from_complex(m)
+
+
+def encode(
+    params: CkksParams, m, qs: tuple | None = None, precision: str = "dd"
+) -> jnp.ndarray:
+    """m: (l,) complex (np.complex128, DDC, or FPC) -> RNS plaintext (L, N)."""
     qs = params.qs if qs is None else qs
-    z = m if isinstance(m, DDC) else DDC.from_complex(m)
+    z = _lift(m, precision)
     assert len(z) == params.l
-    z = sifft(z)
-    sh, sl = dd_scalar_from_int(params.scale)
-    z = z.mul_dd_scalar(sh, sl)
+    z = sifft(z).mul_int(params.scale)
     re, im = z.round_to_ints()
     return jnp.asarray(bigints_to_rns(re + im, qs))
 
 
-def decode(params: CkksParams, pt: jnp.ndarray, qs: tuple) -> np.ndarray:
-    """RNS plaintext -> (l,) complex128 slots."""
+def decode(
+    params: CkksParams, pt: jnp.ndarray, qs: tuple, precision: str = "dd"
+):
+    """RNS plaintext -> (l,) complex128 slots (or an FPC when
+    precision="f256", so callers can measure beyond f64's 53 bits)."""
     vals = rns_to_bigints(np.asarray(pt), qs)
     l = params.l
+    if precision == "f256":
+        from ...utils.f256 import FPC
+
+        z = FPC.from_ints(vals[:l], vals[l:])
+        return sfft(z.div_int(params.scale))
     z = DDC.from_ints(vals[:l], vals[l:])
-    sh, sl = dd_scalar_from_int(params.scale)
-    z = z.div_dd_scalar(sh, sl)
-    return sfft(z).to_complex128()
+    return sfft(z.div_int(params.scale)).to_complex128()
 
 
 # -- encrypt / decrypt ---------------------------------------------------------

@@ -37,15 +37,34 @@ def w_dd(n: int, conj: bool = False) -> DDC:
     return table[np.array(idx)]
 
 
-def sfft(z: DDC) -> DDC:
-    """Normal -> evaluation order (Alg 1 of 2018/1043, `sfft.rs:7-19`)."""
+@lru_cache(maxsize=None)
+def w_fp(n: int, conj: bool = False):
+    """Same twiddles in the 256-bit fixed-point backend (utils/f256.py)."""
+    from ...utils.f256 import cis_table_fp
+
+    table = cis_table_fp(2 * n, 4 * n)
+    pow5 = _pow5(n)
+    idx = [((-p) % (4 * n)) if conj else (p % (4 * n)) for p in pow5[: n // 2]]
+    return table[np.array(idx)]
+
+
+def _w_for(z, n: int, conj: bool = False):
+    """Pick the twiddle table matching z's precision backend."""
+    if isinstance(z, DDC):
+        return w_dd(n, conj)
+    return w_fp(n, conj)
+
+
+def sfft(z):
+    """Normal -> evaluation order (Alg 1 of 2018/1043, `sfft.rs:7-19`).
+    Backend-generic: works on DDC (double-double) or FPC (256-bit)."""
     n = len(z)
     assert n & (n - 1) == 0
     z = z[np.asarray(bit_reverse_indices(n))]  # identity for n <= 2
     log_n = n.bit_length() - 1
     for log_m in range(log_n):
         m = 1 << log_m
-        w = w_dd(2 * m)
+        w = _w_for(z, 2 * m)
         x = z
         # chunks of 2m: reshape views via fancy indexing
         a_idx = (np.arange(n).reshape(-1, 2 * m)[:, :m]).ravel()
@@ -60,15 +79,16 @@ def sfft(z: DDC) -> DDC:
     return z
 
 
-def sifft(z: DDC) -> DDC:
-    """Evaluation -> normal order, inverse (`sfft.rs:21-35`)."""
+def sifft(z):
+    """Evaluation -> normal order, inverse (`sfft.rs:21-35`).
+    Backend-generic: works on DDC (double-double) or FPC (256-bit)."""
     n = len(z)
     assert n & (n - 1) == 0
     z = z.copy()
     log_n = n.bit_length() - 1
     for log_m in reversed(range(log_n)):
         m = 1 << log_m
-        w = w_dd(2 * m, conj=True)
+        w = _w_for(z, 2 * m, conj=True)
         a_idx = (np.arange(n).reshape(-1, 2 * m)[:, :m]).ravel()
         b_idx = (np.arange(n).reshape(-1, 2 * m)[:, m:]).ravel()
         a = z[a_idx]
@@ -77,7 +97,7 @@ def sifft(z: DDC) -> DDC:
         z[a_idx] = a + b
         z[b_idx] = (a - b) * t
     z = z[np.asarray(bit_reverse_indices(n))]
-    return z.scale_exact(1.0 / n)
+    return z.scale_pow2(-log_n)
 
 
 def sfft_fmats(n: int) -> list[dict[int, DDC]]:

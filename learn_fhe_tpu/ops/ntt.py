@@ -202,6 +202,57 @@ def intt(a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
     return mul_shoup(out, u64(plan.n_inv), u64(plan.n_inv_shoup), q)
 
 
+@lru_cache(maxsize=None)
+def eval_exponents(n: int) -> np.ndarray:
+    """Root exponent per forward-NTT output slot: out[j] = a(psi^{e[j]}).
+
+    Computed empirically by running a host numpy mirror of the merged-twist
+    DIT stages on the polynomial a(X) = X over a small NTT-friendly prime and
+    matching slot values against the psi power table — the slot->root map is
+    determined by the butterfly index structure alone, so it is identical for
+    every prime and for the u32/u64 engines. Feeds the evaluation-basis
+    automorphism permutation (hoisted rotations, models/ckks/hoisting.py)."""
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
+    log_n = n.bit_length() - 1
+    from ..utils.primes import two_adic_primes
+
+    q = next(two_adic_primes(31, log_n + 1))
+    psi = two_adic_generator(q, log_n + 1)
+    rev = bit_reverse_indices(n)
+    pow_list = []
+    acc = 1
+    for _ in range(2 * n):
+        pow_list.append(acc)
+        acc = acc * psi % q
+    psi_br = np.array(pow_list[:n], dtype=object)[rev]
+    out = np.zeros(n, dtype=object)
+    out[1] = 1  # a(X) = X
+    for layer in range(log_n):
+        m = 1 << layer
+        half = n >> (layer + 1)
+        x = out.reshape(m, 2, half)
+        u, v = x[:, 0, :], x[:, 1, :]
+        tv = (v * psi_br[m : 2 * m, None]) % q
+        out = np.stack([(u + tv) % q, (u - tv) % q], axis=1).reshape(n)
+    pos_of_value = {v: k for k, v in enumerate(pow_list)}
+    e = np.array([pos_of_value[int(v)] for v in out], dtype=np.int64)
+    assert (e % 2 == 1).all() and len(set(e.tolist())) == n
+    return e
+
+
+@lru_cache(maxsize=None)
+def eval_automorphism_perm(n: int, t: int) -> np.ndarray:
+    """Permutation sigma with NTT(automorphism_t(x)) == NTT(x)[sigma]:
+    slot j of the transformed automorphism holds a(root^t), i.e. the slot
+    whose exponent is e[j]*t mod 2n. No sign corrections — the evaluation
+    points are closed under odd exponentiation."""
+    assert t % 2 == 1
+    e = eval_exponents(n)
+    pos = {int(exp): j for j, exp in enumerate(e)}
+    return np.array([pos[int(exp) * t % (2 * n)] for exp in e], dtype=np.int64)
+
+
 def pointwise_mul(a: jnp.ndarray, b: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
     """Pointwise product in evaluation basis (general Montgomery path)."""
     return mul_mod(a, b, plan.zq)

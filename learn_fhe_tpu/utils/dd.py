@@ -205,6 +205,18 @@ class DDC:
         ih, il = dd_div(self.im_h, self.im_l, hh, ll)
         return DDC(rh, rl, ih, il)
 
+    def scale_pow2(self, k: int) -> "DDC":
+        """Multiply by 2**k exactly (backend-generic API shared with FPC)."""
+        return self.scale_exact(2.0**k)
+
+    def mul_int(self, s: int) -> "DDC":
+        h, l = dd_scalar_from_int(int(s))
+        return self.mul_dd_scalar(h, l)
+
+    def div_int(self, s: int) -> "DDC":
+        h, l = dd_scalar_from_int(int(s))
+        return self.div_dd_scalar(h, l)
+
     # -- conversion ---------------------------------------------------------------
 
     def to_complex128(self) -> np.ndarray:
