@@ -100,3 +100,29 @@ def test_full_bootstrap_larger_ring():
     rel_bits = -np.log2(err / np.max(np.abs(m)))
     print(f"bootstrap N=128: {len(out.qs)} levels left, {rel_bits:.1f} relative bits")
     assert err < np.max(np.abs(m)) * 0.05, err
+
+
+@pytest.mark.slow
+def test_full_bootstrap_production_ring():
+    """N=1024 — the reference's largest CKKS test ring (`ckks.rs:306` sweeps
+    log_n 1..10) — with a sparse ternary secret (h=64, HEAAN practice): the
+    wrap count matches the N=128 dense case, so the same EvalMod depth
+    carries to the production ring."""
+    rng = np.random.default_rng(17)
+    params = C.CkksParams(log_n=10, log_qi=55, big_l=21)
+    sk = C.sk_gen_sparse(params, 64, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    em = E.EvalModParams(k=24, r=4, degree=34)
+    out = E.bootstrap(params, bk, rlk, cjk, C.to_level(ct, (params.qs[0],)), em)
+    assert len(out.qs) >= 2, len(out.qs)
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = np.max(np.abs(got - m))
+    rel_bits = -np.log2(err / np.max(np.abs(m)))
+    print(f"bootstrap N=1024 (h=64): {len(out.qs)} levels left, "
+          f"{rel_bits:.1f} relative bits")
+    assert err < np.max(np.abs(m)) * 0.05, err
