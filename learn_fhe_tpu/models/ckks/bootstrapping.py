@@ -11,10 +11,22 @@ rotations of partial sums (`:90-108`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from ...ops.ntt import eval_automorphism_perm
+from ...ops.rns import (
+    extend_bases,
+    rescale_k,
+    rns_add,
+    rns_intt,
+    rns_mul_eval,
+    rns_ntt,
+    rns_plan,
+)
 from ...utils.dd import DDC
 from ...utils.matrix import bsgs_plan, mat_product
 from . import ckks as C
@@ -44,10 +56,11 @@ def _chunked(mats, r, n):
 class BootstrapKey:
     bp: BootstrapParams
     rtk: dict[int, CkksRotKey]
-    # encoded-diagonal plaintext cache keyed by ((tag, chunk), diag index,
-    # level basis) — stable identifiers, never object ids: the sifft encode
-    # runs in host double-double arithmetic and would otherwise dominate
-    # repeated CoeffToSlot/SlotToCoeff calls
+    # EVAL-basis encoded-diagonal cache (QP basis, post-NTT device arrays)
+    # keyed by ((tag, chunk), diag index, giant step, level basis) — stable
+    # identifiers, never object ids: the sifft encode runs in host
+    # double-double arithmetic and would otherwise dominate repeated
+    # CoeffToSlot/SlotToCoeff calls
     pt_cache: dict = None
 
     def __post_init__(self):
@@ -82,31 +95,119 @@ def _mul_mats(bk: BootstrapKey, mats, ct: CkksCiphertext, tag: str) -> CkksCiphe
     return ct
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _pt_eval(qs: tuple, pt: jnp.ndarray) -> jnp.ndarray:
+    return rns_ntt(pt, rns_plan(qs, pt.shape[-1]))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _bsgs_apply(
+    params: CkksParams,
+    items: tuple,  # ((i, (j, ...)), ...) — the static BSGS plan
+    ct: CkksCiphertext,
+    baby_rtks: tuple,  # CkksRotKey per nonzero baby j (plan order)
+    giant_rtks: tuple,  # CkksRotKey per nonzero giant i (items order)
+    pts: tuple,  # per item: tuple of (L+P, N) EVAL-basis encoded diagonals
+) -> CkksCiphertext:
+    """One BSGS sparse-diagonal matrix application as a single fused program.
+
+    v2 of the reference's per-rotation chain (`bootstrapping.rs:90-108`),
+    redesigned around evaluation-basis residency (the HBM-bound regime of
+    ARCHITECTURE §6): the ciphertext is base-extended and forward-transformed
+    ONCE ("hoisting", eprint 2018/1043 §5.3); each baby-step rotation is an
+    eval-slot permutation + pointwise key product; diagonal plaintexts
+    multiply and accumulate IN the evaluation basis with the hybrid
+    key-switch P-rescale deferred to one inverse transform per giant group
+    (lazy rescaling). Transform count per chunk drops from
+    ~|babies|*(3L') + |diags|*4L to 2 + 3*|giants|."""
+    qs = ct.qs
+    ps = params.ps
+    qps = qs + ps
+    plan_qp = rns_plan(qps, ct.a.shape[-1])
+    plan_q = rns_plan(qs, ct.a.shape[-1])
+    L = len(qs)
+    n = ct.a.shape[-1]
+    idx = [params.qps.index(q) for q in qps]
+
+    a_ext = jnp.concatenate([ct.a, extend_bases(ct.a, qs, ps)], axis=-2)
+    ae = rns_ntt(a_ext, plan_qp)  # rows [:L] are NTT(ct.a)
+    be = rns_ntt(ct.b, plan_q)
+
+    W = {}  # j -> (ksk_b * perm(ae), ksk_a * perm(ae), perm(be)) in eval
+    for rtk in baby_rtks:
+        t = params.pow5(rtk.j)
+        perm = jnp.asarray(eval_automorphism_perm(n, t))
+        aer = ae[..., perm]
+        W[rtk.j] = (
+            rns_mul_eval(rtk.ksk.b[idx, :], aer, plan_qp),
+            rns_mul_eval(rtk.ksk.a[idx, :], aer, plan_qp),
+            be[..., perm],
+        )
+
+    giants = {rtk.j: rtk for rtk in giant_rtks}
+    out = None
+    for (i, ijs), pt_group in zip(items, pts):
+        acc_pb = acc_pa = None  # QP basis, carry the P factor
+        acc_bb = acc_aq = None  # q basis
+        for j, pt in zip(ijs, pt_group):
+            if j == 0:
+                tb = rns_mul_eval(pt[:L], be, plan_q)
+                ta = rns_mul_eval(pt[:L], ae[..., :L, :], plan_q)
+                acc_bb = tb if acc_bb is None else rns_add(acc_bb, tb, plan_q)
+                acc_aq = ta if acc_aq is None else rns_add(acc_aq, ta, plan_q)
+            else:
+                wb, wa, bej = W[j]
+                tb = rns_mul_eval(pt, wb, plan_qp)
+                ta = rns_mul_eval(pt, wa, plan_qp)
+                tbb = rns_mul_eval(pt[:L], bej, plan_q)
+                acc_pb = tb if acc_pb is None else rns_add(acc_pb, tb, plan_qp)
+                acc_pa = ta if acc_pa is None else rns_add(acc_pa, ta, plan_qp)
+                acc_bb = tbb if acc_bb is None else rns_add(acc_bb, tbb, plan_q)
+        b_i = rns_intt(acc_bb, plan_q)
+        if acc_pb is not None:
+            kb = rescale_k(rns_intt(acc_pb, plan_qp), qps, len(ps))
+            ka = rescale_k(rns_intt(acc_pa, plan_qp), qps, len(ps))
+            b_i = rns_add(b_i, kb, plan_q)
+            a_i = ka
+        else:
+            a_i = jnp.zeros_like(b_i)
+        if acc_aq is not None:
+            a_i = rns_add(a_i, rns_intt(acc_aq, plan_q), plan_q)
+        part = C.rescale_ct(CkksCiphertext(b_i, a_i, qs))
+        moved = part if i == 0 else C.rotate(params, giants[i], part)
+        out = moved if out is None else C.add(out, moved)
+    return out
+
+
 def _mul_mat(
     bk: BootstrapKey, mat: dict[int, DDC], ct: CkksCiphertext, mat_key: tuple
 ) -> CkksCiphertext:
-    """BSGS: baby rotations of ct, diag-rotated constant muls, giant-step
-    rotation of partial sums (`bootstrapping.rs:90-108`)."""
+    """BSGS sparse-diagonal apply (`bootstrapping.rs:90-108`), fused through
+    `_bsgs_apply`; diagonals are encoded over the FULL QP basis and cached
+    in the evaluation basis keyed by stable identifiers."""
     params = bk.bp.params
-
-    def rot(j, c):
-        return c if j == 0 else C.rotate(params, bk.rtk[j], c)
-
     plan = bsgs_plan(list(mat.keys()))
-    js = sorted({j for js in plan.values() for j in js})
-    ct_rot = {j: rot(j, ct) for j in js}
-    out = None
-    for i, jss in plan.items():
-        partial = None
-        for j in jss:
+    items = tuple(sorted((i, tuple(sorted(jss))) for i, jss in plan.items()))
+    babies = tuple(sorted({j for _, jss in items for j in jss if j != 0}))
+    giants = tuple(sorted({i for i, _ in items if i != 0}))
+    qps = ct.qs + params.ps
+    pts = []
+    for i, ijs in items:
+        group = []
+        for j in ijs:
             key = (mat_key, (i + j) % params.l, i, ct.qs)
             pt = bk.pt_cache.get(key)
             if pt is None:
                 diag = mat[(i + j) % params.l].roll(i)  # rot_iter(-i)
-                pt = C.encode(params, diag, ct.qs)
+                pt = _pt_eval(qps, C.encode(params, diag, qps))
                 bk.pt_cache[key] = pt
-            term = C._mul_pt(params, pt, ct_rot[j])
-            partial = term if partial is None else C.add(partial, term)
-        moved = rot(i, partial)
-        out = moved if out is None else C.add(out, moved)
-    return out
+            group.append(pt)
+        pts.append(tuple(group))
+    return _bsgs_apply(
+        params,
+        items,
+        ct,
+        tuple(bk.rtk[j] for j in babies),
+        tuple(bk.rtk[i % params.l] for i in giants),
+        tuple(pts),
+    )

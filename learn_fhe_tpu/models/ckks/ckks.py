@@ -142,7 +142,7 @@ def to_level(ct: CkksCiphertext, qs: tuple) -> CkksCiphertext:
     if ct.qs == qs:
         return ct
     idx = [ct.qs.index(q) for q in qs]
-    return CkksCiphertext(ct.b[idx, :], ct.a[idx, :], qs)
+    return CkksCiphertext(ct.b[..., idx, :], ct.a[..., idx, :], qs)
 
 
 def _align(ct0: CkksCiphertext, ct1: CkksCiphertext):
@@ -438,6 +438,55 @@ def rotate(params: CkksParams, rtk: CkksRotKey, ct: CkksCiphertext) -> CkksCiphe
         _automorphism_rns(ct.b, t, ct.qs), _automorphism_rns(ct.a, t, ct.qs), ct.qs
     )
     return key_switch(params, rtk.ksk, ct_rot)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def hoisted_rotations(
+    params: CkksParams,
+    rtks: tuple,  # CkksRotKey pytrees aligned with js
+    ct: CkksCiphertext,
+    js: tuple,
+) -> tuple:
+    """Rotate one ciphertext by many BSGS baby-step indices at the cost of
+    ONE base extension + ONE forward transform ("hoisting", eprint 2018/1043
+    §5.3 — an optimization the reference's per-rotation key_switch chain
+    `ckks.rs:274-293` repeats |js| times).
+
+    Automorphisms act on the EVALUATION basis as a pure slot permutation
+    (`ops/ntt.py:eval_automorphism_perm`), and they commute with the
+    coefficient-wise base extension, so extend+NTT once, then per rotation:
+    permute slots, pointwise-multiply the eval-resident rotation key, and
+    inverse-transform/rescale. Saves the (L+P, N) extension contraction and
+    forward NTT on every rotation after the first — the dominant share of a
+    rotate at high level."""
+    from ...ops.ntt import eval_automorphism_perm
+
+    qs = ct.qs
+    ps = params.ps
+    qps = qs + ps
+    plan = params.plan(qps)
+    plan_q = params.plan(qs)
+    a_ext = jnp.concatenate([ct.a, extend_bases(ct.a, qs, ps)], axis=-2)
+    ae = rns_ntt(a_ext, plan)
+    idx = [params.qps.index(q) for q in qps]
+    n = ct.a.shape[-1]
+    outs = []
+    for rtk, j in zip(rtks, js):
+        assert rtk.j == j % params.l
+        t = params.pow5(j)
+        perm = jnp.asarray(eval_automorphism_perm(n, t))
+        ae_rot = ae[..., perm]
+        ksk_b = rtk.ksk.b[idx, :]
+        ksk_a = rtk.ksk.a[idx, :]
+        b = rescale_k(
+            rns_intt(rns_mul_eval(ksk_b, ae_rot, plan), plan), qps, len(ps)
+        )
+        a = rescale_k(
+            rns_intt(rns_mul_eval(ksk_a, ae_rot, plan), plan), qps, len(ps)
+        )
+        b = rns_add(b, _automorphism_rns(ct.b, t, qs), plan_q)
+        outs.append(CkksCiphertext(b, a, qs))
+    return tuple(outs)
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -20,8 +20,9 @@ the same decode as any other ciphertext.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, partial
 
+import jax
 import numpy as np
 
 from ...ops.rns import extend_bases
@@ -70,9 +71,24 @@ def cheb_split(p: np.ndarray, g: int) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _const(params: CkksParams, value: complex, qs) -> "np.ndarray":
-    """Encoded constant vector [value]*l at basis qs."""
-    return C.encode(params, np.full(params.l, value, dtype=np.complex128), qs)
+_const_cache: dict = {}
+
+
+def _const(params: CkksParams, value: complex, qs, eval_basis: bool = False):
+    """Encoded constant vector [value]*l at basis qs, cached — EvalMod
+    re-uses the same ~50 Chebyshev/offset constants every bootstrap call.
+    With eval_basis=True the cached array is pre-NTT'd, saving a forward
+    transform inside every constant multiply."""
+    key = (params, complex(value), tuple(qs), eval_basis)
+    pt = _const_cache.get(key)
+    if pt is None:
+        pt = C.encode(params, np.full(params.l, value, dtype=np.complex128), qs)
+        if eval_basis:
+            from .bootstrapping import _pt_eval
+
+            pt = _pt_eval(tuple(qs), pt)
+        _const_cache[key] = pt
+    return pt
 
 
 def add_const(params: CkksParams, ct: CkksCiphertext, value: float) -> CkksCiphertext:
@@ -87,8 +103,24 @@ def add_const(params: CkksParams, ct: CkksCiphertext, value: float) -> CkksCiphe
 
 
 def mul_const(params: CkksParams, ct: CkksCiphertext, value: complex) -> CkksCiphertext:
-    """ct * scalar constant (one level)."""
-    return C._mul_pt(params, _const(params, value, ct.qs), ct)
+    """ct * scalar constant (one level); the constant rides the eval-basis
+    cache so each call costs 2 forward + 2 inverse transforms, not 3 + 2."""
+    return _mul_pt_eval(params, _const(params, value, ct.qs, eval_basis=True), ct)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _mul_pt_eval(
+    params: CkksParams, pt_eval: "jnp.ndarray", ct: CkksCiphertext
+) -> CkksCiphertext:
+    from ...ops.rns import rns_intt, rns_mul_eval, rns_ntt
+
+    plan = params.plan(ct.qs)
+    out = CkksCiphertext(
+        rns_intt(rns_mul_eval(pt_eval, rns_ntt(ct.b, plan), plan), plan),
+        rns_intt(rns_mul_eval(pt_eval, rns_ntt(ct.a, plan), plan), plan),
+        ct.qs,
+    )
+    return C.rescale_ct(out)
 
 
 def _double(ct: CkksCiphertext) -> CkksCiphertext:
@@ -230,10 +262,11 @@ def mod_raise(params: CkksParams, ct: CkksCiphertext) -> CkksCiphertext:
     rest = tuple(q for q in target if q != q0)
     b_full = jnp.concatenate([ct.b, extend_bases(ct.b, (q0,), rest)], axis=-2)
     a_full = jnp.concatenate([ct.a, extend_bases(ct.a, (q0,), rest)], axis=-2)
-    # reorder limbs into params.qs order (q0 need not be qs[0] in general)
+    # reorder limbs into params.qs order (q0 need not be qs[0] in general);
+    # index the limb axis explicitly so leading batch axes broadcast through
     have = (q0,) + rest
     perm = [have.index(q) for q in target]
-    return CkksCiphertext(b_full[perm, :], a_full[perm, :], target)
+    return CkksCiphertext(b_full[..., perm, :], a_full[..., perm, :], target)
 
 
 def bootstrap(

@@ -128,6 +128,24 @@ def test_rotate_conjugate(ckks_env):
         assert_bits(np.roll(m, -j), got, 40)
 
 
+def test_hoisted_rotations(ckks_env):
+    """Hoisted multi-rotation (one shared extension+NTT, eval-basis slot
+    permutation per index) is bit-identical to the per-rotation key_switch
+    chain and decrypts to the rolled slots."""
+    params, sk, pk, rng = ckks_env
+    m = _sample(params, rng)
+    ct = C.pk_encrypt(params, pk, C.encode(params, m), rng)
+    js = (1, 5, params.l - 1)
+    rtks = tuple(C.rtk_gen(params, sk, j, rng) for j in js)
+    outs = C.hoisted_rotations(params, rtks, ct, js)
+    for j, rtk, out in zip(js, rtks, outs):
+        ref = C.rotate(params, rtk, ct)
+        assert (np.asarray(out.b) == np.asarray(ref.b)).all()
+        assert (np.asarray(out.a) == np.asarray(ref.a)).all()
+        got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+        assert_bits(np.roll(m, -j), got, 40)
+
+
 def test_homomorphic_sfft(ckks_env):
     """`ckks/bootstrapping.rs:121-141`: slot_to_coeff then coeff_to_slot,
     30-bit budget."""

@@ -126,3 +126,34 @@ def test_full_bootstrap_production_ring():
     print(f"bootstrap N=1024 (h=64): {len(out.qs)} levels left, "
           f"{rel_bits:.1f} relative bits")
     assert err < np.max(np.abs(m)) * 0.05, err
+
+
+@pytest.mark.slow
+def test_full_bootstrap_batched():
+    """A leading ciphertext batch axis broadcasts through the WHOLE bootstrap
+    (mod_raise, fused BSGS transforms, EvalMod) with shared keys — the
+    throughput axis (ARCHITECTURE §6) applied to CKKS bootstrapping."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    params = C.CkksParams(log_n=5, log_qi=55, big_l=20)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    ms = [(rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+          for _ in range(3)]
+    lows = [C.to_level(
+        C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng),
+        (params.qs[0],)) for m in ms]
+    bct = C.CkksCiphertext(
+        jnp.stack([c.b for c in lows]), jnp.stack([c.a for c in lows]),
+        (params.qs[0],))
+    out = E.bootstrap(params, bk, rlk, cjk, bct)
+    assert len(out.qs) >= 2
+    for i, m in enumerate(ms):
+        one = C.CkksCiphertext(out.b[i], out.a[i], out.qs)
+        got = C.decode(params, C.decrypt(params, sk, one), out.qs)
+        err = np.max(np.abs(got - m))
+        assert err < np.max(np.abs(m)) * 0.05, (i, err)
