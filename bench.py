@@ -474,8 +474,14 @@ def bench_ckks_bootstrap(args):
     from learn_fhe_tpu.models.ckks import evalmod as E
 
     rng = np.random.default_rng(17)
-    log_n = 5 if args.smoke else 10
+    log_n = 5 if args.smoke else (args.batch or 10)  # --batch reuses as log_n
     params = C.CkksParams(log_n=log_n, log_qi=55, big_l=20 if args.smoke else 21)
+    if not args.smoke:
+        # overlap the per-level mul/rotate compiles with keygen (the remote
+        # compile helper serves concurrent requests, ARCHITECTURE §10)
+        from learn_fhe_tpu.models.ckks.warmup import prewarm_ckks_pipelines
+
+        prewarm_ckks_pipelines(params)
     t0 = time.time()
     sk = C.sk_gen_sparse(params, min(64, params.n // 2), rng)
     rlk = C.rlk_gen(params, sk, rng)

@@ -77,7 +77,7 @@ def key_gen(bp: BootstrapParams, sk: np.ndarray, rng: np.random.Generator) -> Bo
         for js in plan.values():
             needed.update(js)
     needed.discard(0)
-    rtk = {j: C.rtk_gen(bp.params, sk, j, rng) for j in sorted(needed)}
+    rtk = C.rtk_gen_many(bp.params, sk, sorted(needed), rng)
     return BootstrapKey(bp, rtk)
 
 

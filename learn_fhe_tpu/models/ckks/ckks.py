@@ -257,6 +257,50 @@ def rtk_gen(params: CkksParams, sk: np.ndarray, j: int, rng) -> CkksRotKey:
     return CkksRotKey(ksk_gen(params, sk, sk_rot, rng), j)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _ksk_gen_core(params: CkksParams, sk_primes_i64, a, e_i64, sk_i64):
+    """Batched ksk generation: K keys in one program. sk_primes (K, N) i64,
+    a (K, 2L, N) uniform masks, e (K, N) noise -> eval-resident (b, a)."""
+    plan = params.plan(params.qps)
+    pts = _ksk_pt(params, sk_primes_i64)  # (K, 2L, N) via leading-axis bcast
+    e = rns_from_i64(e_i64, plan)
+    sk_rns = rns_from_i64(sk_i64, plan)
+    b = rns_add(rns_add(rns_neg(rns_mul(a, sk_rns, plan), plan), e, plan), pts, plan)
+    return rns_ntt(b, plan), rns_ntt(a, plan)
+
+
+def ksk_gen_many(
+    params: CkksParams, sk: np.ndarray, sk_primes: np.ndarray, rng: np.random.Generator
+) -> list[CkksKeySwitchingKey]:
+    """Generate K key-switching keys in ONE jitted dispatch (ksk_gen's 3
+    device round trips per key dominate bootstrap keygen through the remote
+    compile tunnel; measured ~500 s for 16 rotation keys at N=2^10 L=8+8)."""
+    K = len(sk_primes)
+    qps = params.qps
+    a = np.stack(
+        [np.stack([uniform_zq(q, rng, params.n) for q in qps]) for _ in range(K)]
+    )
+    e = np.stack([dg(3.2, 6, rng, params.n) for _ in range(K)])
+    b_eval, a_eval = _ksk_gen_core(
+        params,
+        jnp.asarray(np.asarray(sk_primes, dtype=np.int64)),
+        jnp.asarray(a),
+        jnp.asarray(e),
+        jnp.asarray(np.asarray(sk, dtype=np.int64)),
+    )
+    return [CkksKeySwitchingKey(b_eval[k], a_eval[k], qps) for k in range(K)]
+
+
+def rtk_gen_many(
+    params: CkksParams, sk: np.ndarray, js: list, rng: np.random.Generator
+) -> dict[int, CkksRotKey]:
+    """All BSGS rotation keys in one batched dispatch (see ksk_gen_many)."""
+    js = [j % params.l for j in js]
+    sk_rots = np.stack([_automorphism_i64(sk, params.pow5(j)) for j in js])
+    ksks = ksk_gen_many(params, sk, sk_rots, rng)
+    return {j: CkksRotKey(k, j) for j, k in zip(js, ksks)}
+
+
 # -- encode / decode (host; `ckks.rs:186-213`) ---------------------------------
 #
 # Two precision backends, both host-only like the reference's F256 endpoints:
