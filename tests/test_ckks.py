@@ -194,3 +194,15 @@ def test_homomorphic_horner(rng):
     for k, p in enumerate(pws, start=1):
         gotk = C.decode(params, C.decrypt(params, sk, p), p.qs)
         assert np.max(np.abs(gotk - m**k)) < 1e-5, k
+
+
+def test_rtk_gen_many(ckks_env):
+    """Batched rotation-key generation (one jitted dispatch for all BSGS
+    keys) produces keys that rotate correctly."""
+    params, sk, pk, rng = ckks_env
+    m = _sample(params, rng)
+    ct = C.pk_encrypt(params, pk, C.encode(params, m), rng)
+    rtks = C.rtk_gen_many(params, sk, [1, 3, 7], rng)
+    for j, rtk in rtks.items():
+        got = C.decode(params, C.decrypt(params, sk, C.rotate(params, rtk, ct)), params.qs)
+        assert_bits(np.roll(m, -j), got, 40)
