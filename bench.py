@@ -36,6 +36,15 @@ def main():
         choices=["tfhe", "fhew", "ckks", "ntt", "scaling", "ckks_bootstrap"],
         default="tfhe",
     )
+    ap.add_argument(
+        "--platform",
+        choices=["cpu-mesh", "native"],
+        default="cpu-mesh",
+        help="scaling metric only: cpu-mesh = virtual 8-device CPU mesh "
+        "(default in this image, where one TPU chip is reachable); native = "
+        "use whatever devices the ambient backend exposes (real ICI scaling "
+        "on a pod slice)",
+    )
     args = ap.parse_args()
 
     if args.smoke:
@@ -319,20 +328,26 @@ def bench_scaling(args):
     1 chip / 1 host / >=2 hosts"): batched TFHE PBS throughput at 1/2/4/8
     mesh devices, batch sharded over 'batch'.
 
-    On real multi-chip hardware this measures ICI scaling; in this image only
-    one TPU chip is reachable, so the harness runs on a virtual 8-device CPU
-    mesh by default (pass --device tpu-like envs when a pod slice exists).
-    The printed efficiency is throughput(D) / (D * throughput(1)).
+    On real multi-chip hardware this measures ICI scaling (run with
+    `--platform native` when a pod slice exists); in this image only one TPU
+    chip is reachable, so the default `--platform cpu-mesh` runs on a virtual
+    8-device CPU mesh. The printed efficiency is
+    throughput(D) / (D * throughput(1)); the result is also persisted to
+    SCALING.json next to this script.
     """
     import os
 
-    # must win before any backend init: force a CPU mesh with 8 devices
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    import jax
+    if args.platform == "cpu-mesh":
+        # must win before any backend init: force a CPU mesh with 8 devices
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        import jax
 
-    jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")
+    else:  # --platform native: measure real multi-device scaling over ICI
+        import jax
     import jax.numpy as jnp
 
     from learn_fhe_tpu.models.tfhe import (
@@ -384,17 +399,28 @@ def bench_scaling(args):
         results[n_dev] = B * args.iters / (time.time() - t0)
     base = results[1]
     eff8 = results.get(8, results[max(results)]) / (max(results) * base)
-    print(
-        json.dumps(
-            {
-                "metric": "tfhe_pbs_scaling_efficiency_8dev",
-                "value": round(eff8, 4),
-                "unit": "throughput(D)/(D*throughput(1))",
-                "vs_baseline": round(eff8, 4),
-            }
-        )
-    )
+    row = {
+        "metric": "tfhe_pbs_scaling_efficiency_8dev",
+        "value": round(eff8, 4),
+        "unit": "throughput(D)/(D*throughput(1))",
+        "vs_baseline": round(eff8, 4),
+    }
+    print(json.dumps(row))
+    import pathlib
     import sys
+
+    artifact = dict(
+        row,
+        platform=jax.devices()[0].platform,
+        batch=B,
+        per_device_throughput={str(d): round(v, 1) for d, v in results.items()},
+        efficiency={
+            str(d): round(v / (d * base), 4) for d, v in results.items()
+        },
+    )
+    pathlib.Path(__file__).with_name("SCALING.json").write_text(
+        json.dumps(artifact, indent=2) + "\n"
+    )
 
     print(
         "# scaling "

@@ -71,7 +71,13 @@ def cheb_split(p: np.ndarray, g: int) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-_const_cache: dict = {}
+from collections import OrderedDict
+
+# LRU over (params, value, qs, eval_basis): one bootstrap at L levels touches
+# ~50 constants per level, so the cap comfortably holds several parameter
+# sets while bounding device-buffer residency for long sweeping processes.
+_CONST_CACHE_MAX = 4096
+_const_cache: "OrderedDict" = OrderedDict()
 
 
 def _const(params: CkksParams, value: complex, qs, eval_basis: bool = False):
@@ -88,6 +94,10 @@ def _const(params: CkksParams, value: complex, qs, eval_basis: bool = False):
 
             pt = _pt_eval(tuple(qs), pt)
         _const_cache[key] = pt
+        while len(_const_cache) > _CONST_CACHE_MAX:
+            _const_cache.popitem(last=False)
+    else:
+        _const_cache.move_to_end(key)
     return pt
 
 

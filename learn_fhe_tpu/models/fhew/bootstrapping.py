@@ -331,8 +331,9 @@ def _trim_len(max_len: int, L: int) -> int:
     scan lengths: every distinct length is a full pipeline recompile (~30-60 s
     through the remote compile helper at production params), which dwarfs the
     cost of a few masked noop steps. Buckets of ~L/16 (min 32) put all
-    realistic batches of one parameter set in 1-2 shapes."""
-    step = max(32, 1 << max(5, (L.bit_length() - 4)))
+    realistic batches of one parameter set in 1-2 shapes. The inner max(5,..)
+    is the 32 floor (this supersedes the old fixed 32-step quantization)."""
+    step = 1 << max(5, L.bit_length() - 4)
     return max(1, min(L, -(-max_len // step) * step))
 
 

@@ -134,7 +134,9 @@ def fwd_stages(out, psi_br, psi_br_shoup, q):
     log_n = n.bit_length() - 1
     batch = out.shape[:-1]
 
-    def tab(t, lo, hi, scale):
+    def tab(t, lo, hi):
+        # (L, n)-indexable table contract: numpy constants from a plan, or
+        # traced per-shard gathers (parallel/coef.py relies on this slicing).
         return t[:, lo:hi]
 
     def r2(out, layer):
@@ -142,8 +144,8 @@ def fwd_stages(out, psi_br, psi_br_shoup, q):
         half = n >> (layer + 1)
         x = out.reshape(*batch, m, 2, half)
         uu, vv = x[..., 0, :], x[..., 1, :]
-        t = tab(psi_br, m, 2 * m, m)[:, :, None]
-        ts = tab(psi_br_shoup, m, 2 * m, m)[:, :, None]
+        t = tab(psi_br, m, 2 * m)[:, :, None]
+        ts = tab(psi_br_shoup, m, 2 * m)[:, :, None]
         qq = q[:, None, :]
         tv = mul_shoup_v(vv, t, ts, qq)
         return jnp.stack(
@@ -156,10 +158,10 @@ def fwd_stages(out, psi_br, psi_br_shoup, q):
         x = out.reshape(*batch, m, 4, quarter)
         x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
         qq = q[:, None, :]
-        w1 = tab(psi_br, m, 2 * m, m)[:, :, None]
-        w1s = tab(psi_br_shoup, m, 2 * m, m)[:, :, None]
-        w2 = tab(psi_br, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
-        w2s = tab(psi_br_shoup, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
+        w1 = tab(psi_br, m, 2 * m)[:, :, None]
+        w1s = tab(psi_br_shoup, m, 2 * m)[:, :, None]
+        w2 = tab(psi_br, 2 * m, 4 * m).reshape(-1, m, 2)
+        w2s = tab(psi_br_shoup, 2 * m, 4 * m).reshape(-1, m, 2)
         t2 = mul_shoup_v(x2, w1, w1s, qq)
         t3 = mul_shoup_v(x3, w1, w1s, qq)
         a0 = add_mod_v(x0, t2, qq)
@@ -194,7 +196,9 @@ def inv_stages(out, psi_inv_br, psi_inv_br_shoup, q):
     log_n = n.bit_length() - 1
     batch = out.shape[:-1]
 
-    def tab(t, lo, hi, scale):
+    def tab(t, lo, hi):
+        # (L, n)-indexable table contract: numpy constants from a plan, or
+        # traced per-shard gathers (parallel/coef.py relies on this slicing).
         return t[:, lo:hi]
 
     def r2i(out, layer):
@@ -202,8 +206,8 @@ def inv_stages(out, psi_inv_br, psi_inv_br_shoup, q):
         half = n >> (layer + 1)
         x = out.reshape(*batch, m, 2, half)
         uu, vv = x[..., 0, :], x[..., 1, :]
-        t = tab(psi_inv_br, m, 2 * m, m)[:, :, None]
-        ts = tab(psi_inv_br_shoup, m, 2 * m, m)[:, :, None]
+        t = tab(psi_inv_br, m, 2 * m)[:, :, None]
+        ts = tab(psi_inv_br_shoup, m, 2 * m)[:, :, None]
         qq = q[:, None, :]
         s = add_mod_v(uu, vv, qq)
         d = mul_shoup_v(sub_mod_v(uu, vv, qq), t, ts, qq)
@@ -215,10 +219,10 @@ def inv_stages(out, psi_inv_br, psi_inv_br_shoup, q):
         x = out.reshape(*batch, m, 4, quarter)
         x0, x1, x2, x3 = (x[..., i, :] for i in range(4))
         qq = q[:, None, :]
-        wi1 = tab(psi_inv_br, m, 2 * m, m)[:, :, None]
-        wi1s = tab(psi_inv_br_shoup, m, 2 * m, m)[:, :, None]
-        wi2 = tab(psi_inv_br, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
-        wi2s = tab(psi_inv_br_shoup, 2 * m, 4 * m, 2 * m).reshape(-1, m, 2)
+        wi1 = tab(psi_inv_br, m, 2 * m)[:, :, None]
+        wi1s = tab(psi_inv_br_shoup, m, 2 * m)[:, :, None]
+        wi2 = tab(psi_inv_br, 2 * m, 4 * m).reshape(-1, m, 2)
+        wi2s = tab(psi_inv_br_shoup, 2 * m, 4 * m).reshape(-1, m, 2)
         a0 = add_mod_v(x0, x1, qq)
         a1 = mul_shoup_v(sub_mod_v(x0, x1, qq), wi2[:, :, 0:1], wi2s[:, :, 0:1], qq)
         b0 = add_mod_v(x2, x3, qq)

@@ -106,11 +106,18 @@ def fhew_gate_chain_profile(
     c1 = lwe.sk_encrypt(params.lwe_z, np.asarray(sk), gates.encode_bool(params, m1), rng)
     log = NoiseLog()
     log.add("fresh encrypt", fhew_noise_bits(params, np.asarray(sk), c0, m0.astype(int)))
+    truth = {
+        "and": lambda a, b: a & b,
+        "nand": lambda a, b: ~(a & b),
+        "or": lambda a, b: a | b,
+        "nor": lambda a, b: ~(a | b),
+        "xor": lambda a, b: a ^ b,
+        "xnor": lambda a, b: ~(a ^ b),
+    }[gate]
     cur, cur_m = c0, m0
     for d in range(depth):
         cur = fhew_gate_batch(params, key, gate, cur, c1)
-        assert gate == "nand"
-        cur_m = ~(cur_m & m1)
+        cur_m = truth(cur_m, m1)
         # gate outputs land on {0, 1} of Z_4 (`fhew.rs:20-25`)
         log.add(
             f"after {gate} #{d + 1}",
