@@ -23,7 +23,10 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-MASK32 = jnp.uint64(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a module-scope jnp constant commits the XLA backend
+# at import time, which breaks jax.distributed.initialize (must run before
+# any backend touch — parallel/distributed.py, tests/distributed_worker.py).
+MASK32 = np.uint64(0xFFFFFFFF)
 U64 = jnp.uint64
 
 
