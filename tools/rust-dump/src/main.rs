@@ -20,12 +20,15 @@ use std::path::Path;
 
 use util::{Base2Decomposor, Rq, Rt, T64, Zq};
 
+mod transcripts;
+
 // -- splitmix64: the shared deterministic input stream -----------------------
 
-struct SplitMix64(u64);
+#[derive(Clone)]
+pub struct SplitMix64(pub u64);
 
 impl SplitMix64 {
-    fn next(&mut self) -> u64 {
+    pub fn next(&mut self) -> u64 {
         self.0 = self.0.wrapping_add(0x9E3779B97F4A7C15);
         let mut z = self.0;
         z = (z ^ (z >> 30)).wrapping_mul(0xBF58476D1CE4E5B9);
@@ -43,8 +46,16 @@ const SEED: u64 = 0x1FE2026_08_17;
 
 // -- minimal .npy writer (version 1.0, little-endian u64) --------------------
 
-fn write_npy_u64(path: &Path, shape: &[usize], data: &[u64]) {
-    assert_eq!(shape.iter().product::<usize>(), data.len());
+pub fn write_npy_u64(path: &Path, shape: &[usize], data: &[u64]) {
+    write_npy_raw(path, shape, "<u8", &data.iter().flat_map(|v| v.to_le_bytes()).collect::<Vec<_>>())
+}
+
+pub fn write_npy_f64(path: &Path, shape: &[usize], data: &[f64]) {
+    write_npy_raw(path, shape, "<f8", &data.iter().flat_map(|v| v.to_le_bytes()).collect::<Vec<_>>())
+}
+
+fn write_npy_raw(path: &Path, shape: &[usize], descr: &str, bytes: &[u8]) {
+    assert_eq!(shape.iter().product::<usize>() * 8, bytes.len());
     let shape_str = match shape.len() {
         1 => format!("({},)", shape[0]),
         _ => format!(
@@ -53,20 +64,18 @@ fn write_npy_u64(path: &Path, shape: &[usize], data: &[u64]) {
         ),
     };
     let mut header = format!(
-        "{{'descr': '<u8', 'fortran_order': False, 'shape': {}, }}",
-        shape_str
+        "{{'descr': '{}', 'fortran_order': False, 'shape': {}, }}",
+        descr, shape_str
     );
     let unpadded = 10 + header.len() + 1; // magic(8) + len(2) + header + \n
     let pad = (64 - unpadded % 64) % 64;
     header.push_str(&" ".repeat(pad));
     header.push('\n');
-    let mut out = Vec::with_capacity(10 + header.len() + data.len() * 8);
+    let mut out = Vec::with_capacity(10 + header.len() + bytes.len());
     out.extend_from_slice(b"\x93NUMPY\x01\x00");
     out.extend_from_slice(&(header.len() as u16).to_le_bytes());
     out.extend_from_slice(header.as_bytes());
-    for v in data {
-        out.extend_from_slice(&v.to_le_bytes());
-    }
+    out.extend_from_slice(bytes);
     let mut f = fs::File::create(path).unwrap();
     f.write_all(&out).unwrap();
 }
@@ -146,4 +155,8 @@ fn main() {
     dump_decomp_zq(dir, q28, 7, 4, 128, &mut rng);
     dump_decomp_t64(dir, 23, 2, 128, &mut rng);
     println!("wrote reference vectors to {}", dir.display());
+
+    // full scheme transcripts: keygen -> encrypt -> bootstrap/gate/mul ->
+    // decrypt (tests/test_rust_transcripts.py consumes these)
+    transcripts::dump_all(dir);
 }
