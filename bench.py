@@ -417,6 +417,16 @@ def bench_scaling(args):
         efficiency={
             str(d): round(v / (d * base), 4) for d, v in results.items()
         },
+        # On the virtual CPU mesh all D "devices" share this host's single
+        # core, so per-device efficiency is bounded by ~1/D by construction
+        # and measures nothing about ICI. The meaningful single-host signal
+        # is aggregate throughput vs 1 device: >= 1.0 means the sharded
+        # program adds no overhead over the unsharded one (collectives and
+        # resharding are free at this batch); real ICI efficiency needs
+        # --platform native on a pod slice.
+        aggregate_vs_1dev={
+            str(d): round(v / base, 4) for d, v in results.items()
+        },
     )
     pathlib.Path(__file__).with_name("SCALING.json").write_text(
         json.dumps(artifact, indent=2) + "\n"
