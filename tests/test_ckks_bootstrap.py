@@ -3,6 +3,8 @@ bootstrapping.rs stops at the linear transforms). An exhausted ciphertext
 comes back at a usable level carrying the same (small) message.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -162,3 +164,33 @@ def test_full_bootstrap_batched():
         got = C.decode(params, C.decrypt(params, sk, one), out.qs)
         err = np.max(np.abs(got - m))
         assert err < np.max(np.abs(m)) * 0.05, (i, err)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("FHE_TPU_HEAVY"),
+    reason="~10 min single-run test; set FHE_TPU_HEAVY=1 to include",
+)
+def test_full_bootstrap_n8192():
+    """N=2^13 — the repo's CKKS *production* ring (the mul benchmark shape).
+    Four CtS + four StC chunks at l=4096 consume two more levels than
+    N=2^10, so big_l=23 leaves the same 2 levels. Measured 2026-08-17 on
+    CPU: 18.6 relative bits, 594 s eval (exact scale tracking; the sine
+    model still gives 28 bits, the gap is transform precision at l=4096)."""
+    rng = np.random.default_rng(29)
+    params = C.CkksParams(log_n=13, log_qi=55, big_l=23)
+    sk = C.sk_gen_sparse(params, 64, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    em = E.EvalModParams(k=24, r=4, degree=34)
+    out = E.bootstrap(params, bk, rlk, cjk, C.to_level(ct, (params.qs[0],)), em)
+    assert len(out.qs) >= 2, len(out.qs)
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = np.max(np.abs(got - m))
+    rel_bits = -np.log2(err / np.max(np.abs(m)))
+    print(f"bootstrap N=8192 (h=64): {len(out.qs)} levels left, {rel_bits:.1f} relative bits")
+    assert rel_bits > 16.0, rel_bits
