@@ -47,12 +47,16 @@ def main():
     from learn_fhe_tpu.utils.primes import two_adic_primes
 
     rng = np.random.default_rng(0)
+    # coarse gate-batch padding: every bootstrap round of the u8 circuits
+    # lands on ONE of two compiled batch shapes (16 or 64), so the warm set
+    # stays tiny and the remote compile helper is off the critical path
     if args.full:
         q = next(two_adic_primes(55, 12))
         params = BootstrapParams(
             RgswParams(RlweParams(q=q, p=4, log_n=11, log_b=11, d=5), log_b=11, d=5),
             LweParams(q=1 << 20, p=4, n=600, log_b=5, d=4),
             w=10,
+            gate_pad=(16, 64),
         )
     else:
         q = next(two_adic_primes(54, 8))
@@ -60,6 +64,7 @@ def main():
             RgswParams(RlweParams(q=q, p=4, log_n=7, log_b=6, d=9), log_b=6, d=9),
             LweParams(q=1 << 16, p=4, n=16, log_b=4, d=4),
             w=5,
+            gate_pad=(16, 64),
         )
 
     n_parties = 2
@@ -74,7 +79,9 @@ def main():
         prewarm_multikey_setup,
     )
 
-    warm_futs = prewarm_multikey_setup(params) + prewarm_gate_pipelines(params)
+    warm_futs = prewarm_multikey_setup(params) + prewarm_gate_pipelines(
+        params, batches=params.gate_pad
+    )
     crs = crs_gen(params, rng)
     sks = [rlwe.sk_gen(params.rlwe, rng) for _ in range(n_parties)]
     pk_shares = [rlwe.pk_share_gen(params.rlwe, crs.pk_a, sk, rng) for sk in sks]

@@ -120,9 +120,12 @@ class FhewBool:
     def carrying_add(
         self, rhs: "FhewBool", carry: "FhewBool"
     ) -> tuple["FhewBool", "FhewBool"]:
-        t, g1 = gate_many([("xor", self, rhs), ("and", self, rhs)])
-        s, g2 = gate_many([("xor", t, carry), ("and", t, carry)])
-        return s, g1 | g2
+        """Full adder in TWO bootstrap rounds: the carry-out (a&b)|((a^b)&c)
+        of `boolean.rs:139-154` IS the 3-input majority, which the gate set
+        evaluates in one linear combination — so the carry chain advances one
+        round per bit instead of three."""
+        t, c_out = gate_many([("xor", self, rhs), ("majority", self, rhs, carry)])
+        return t ^ carry, c_out
 
     def overflowing_sub(self, rhs: "FhewBool") -> tuple["FhewBool", "FhewBool"]:
         d, b = gate_many([("xor", self, rhs), ("and", ~self, rhs)])
@@ -131,9 +134,10 @@ class FhewBool:
     def borrowing_sub(
         self, rhs: "FhewBool", borrow: "FhewBool"
     ) -> tuple["FhewBool", "FhewBool"]:
-        t, g1 = gate_many([("xor", self, rhs), ("and", ~self, rhs)])
-        d, g2 = gate_many([("xor", t, borrow), ("and", ~t, borrow)])
-        return d, g1 | g2
+        """Full subtractor in TWO rounds: borrow-out (~a&b)|(~(a^b)&borrow)
+        == majority(~a, b, borrow) (NOT is linear, so ~a costs nothing)."""
+        t, b_out = gate_many([("xor", self, rhs), ("majority", ~self, rhs, borrow)])
+        return t ^ borrow, b_out
 
 
 def gate_many(ops: list[tuple]) -> list["FhewBool"]:

@@ -44,6 +44,12 @@ class BootstrapParams:
     rgsw: RgswParams
     lwe_s: LweParams
     w: int
+    # Gate-batch padding buckets (sorted, ascending). None = next power of two.
+    # Coarse buckets (e.g. (16, 64)) collapse a circuit's many round sizes
+    # onto 1-2 compiled pipeline shapes: each distinct batch is a full
+    # recompile (~10 s via the remote helper, ARCHITECTURE §10), while padding
+    # a latency-bound small round up to 16 cts costs almost nothing on-chip.
+    gate_pad: tuple[int, ...] | None = None
 
     def __post_init__(self):
         assert self.rgsw.p == self.lwe_s.p

@@ -142,10 +142,17 @@ def gate_batch(
     # compile helper) for no runtime benefit.
     from ...parallel.batch import fhew_bootstrap_batch
 
-    # pad to the next power of two so the jit cache sees few distinct batch
-    # shapes (padding re-evaluates spec[0]; outputs are dropped)
+    # pad so the jit cache sees few distinct batch shapes (padding
+    # re-evaluates spec[0]; outputs are dropped): next power of two by
+    # default, or the params' explicit coarse buckets (params.gate_pad)
     n_real = len(specs)
-    n_pad = 1 << (n_real - 1).bit_length()
+    if params.gate_pad:
+        n_pad = next(
+            (b for b in params.gate_pad if b >= n_real),
+            1 << (n_real - 1).bit_length(),
+        )
+    else:
+        n_pad = 1 << (n_real - 1).bit_length()
     specs = list(specs) + [specs[0]] * (n_pad - n_real)
 
     lins, luts = [], []

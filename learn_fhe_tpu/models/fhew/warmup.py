@@ -66,7 +66,13 @@ def likely_fused_lens(
     rng = np.random.default_rng(seed)
     two_n = params.q
     lens: set[int] = set()
-    for b in sorted({1, min(8, max(batches)), max(batches)}):
+    # sample at the REAL batch sizes (the fused-length bucket grows with the
+    # batch max, so sampling a stand-in size can miss a bucket), but cap the
+    # sweep at 3 sizes to keep host-side schedule building cheap
+    sizes = sorted(set(batches))
+    if len(sizes) > 3:
+        sizes = [sizes[0], sizes[len(sizes) // 2], sizes[-1]]
+    for b in sizes:
         for _ in range(trials):
             a = rng.integers(0, two_n // 2, size=(b, params.lwe_s.n)) * 2 + 1
             zero = rng.random(a.shape) < 0.01
@@ -122,6 +128,12 @@ def prewarm_multikey_setup(params: BootstrapParams, n_lwe_chunk: int = 64):
             params.rgsw, rgsw.RgswCiphertext(_sds(big, u64_), _sds(big, u64_))
         ).compile(),
         lambda: _to_eval_mont.lower(rp, _sds((d_r, n_ring), u64_)).compile(),
+        # FhewU8.pk_encrypt's batched (8, N) bit-plane encryption
+        lambda: _pk_encrypt_core.lower(
+            rp, _sds((n_ring,), u64_), _sds((n_ring,), u64_),
+            _sds((8, n_ring), u64_), _sds((8, n_ring), u64_),
+            _sds((8, n_ring), u64_), _sds((8, n_ring), u64_),
+        ).compile(),
     ]
     return prewarm(thunks)
 

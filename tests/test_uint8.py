@@ -111,3 +111,21 @@ def test_u8_sweep_div_rem(u8_lanes):
     sk = np.asarray(z)
     np.testing.assert_array_equal(q.decrypt(sk), a.astype(int) // b.astype(int))
     np.testing.assert_array_equal(r.decrypt(sk), a.astype(int) % b.astype(int))
+
+
+def test_u8_coarse_gate_pad():
+    """gate_pad buckets collapse every circuit round onto 1-2 batch shapes
+    (ARCHITECTURE §10) without changing results."""
+    from dataclasses import replace
+
+    from learn_fhe_tpu.models.fhew import key_gen, rlwe
+
+    rng = np.random.default_rng(5)
+    params = replace(small_boot_params(), gate_pad=(16, 64))
+    z = rlwe.sk_gen(params.rlwe, rng)
+    bk = key_gen(params, z, rng)
+    a, b = 201, 13
+    ca = FhewU8.sk_encrypt(params, bk, z, a, rng)
+    cb = FhewU8.sk_encrypt(params, bk, z, b, rng)
+    assert (ca + cb).decrypt(z) == (a + b) % 256
+    assert ca.div_rem(cb)[1].decrypt(z) == a % b
