@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--batch", type=int, default=None)  # per-metric defaults
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
+        "--log-n",
+        type=int,
+        default=None,
+        help="ring size override (ckks_bootstrap: 10 default, 13 = production ring)",
+    )
+    ap.add_argument(
         "--smoke", action="store_true", help="tiny params on CPU for a fast check"
     )
     ap.add_argument(
@@ -512,9 +518,12 @@ def bench_ckks_bootstrap(args):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(17)
-    log_n = 5 if args.smoke else 10
-    batch = args.batch or (1 if args.smoke else 8)
-    params = C.CkksParams(log_n=log_n, log_qi=55, big_l=20 if args.smoke else 21)
+    log_n = 5 if args.smoke else (args.log_n or 10)
+    # N=2^13 spends two more levels in the 4-chunk CtS/StC at l=4096
+    # (tests/test_ckks_bootstrap.py::test_full_bootstrap_n8192)
+    big_l = 20 if args.smoke else (23 if log_n >= 13 else 21)
+    batch = args.batch or (1 if args.smoke else (2 if log_n >= 13 else 8))
+    params = C.CkksParams(log_n=log_n, log_qi=55, big_l=big_l)
     if not args.smoke:
         # overlap the per-level mul/rotate compiles with keygen (the remote
         # compile helper serves concurrent requests, ARCHITECTURE §10)
