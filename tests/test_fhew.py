@@ -219,13 +219,16 @@ def test_boolean_adders(small_bk):
             assert (s.decrypt(z), c.decrypt(z)) == ((a != b), (a and b))
             d, brw = enc(a).overflowing_sub(enc(b))
             assert (d.decrypt(z), brw.decrypt(z)) == ((a != b), ((not a) and b))
-    # full adder, one case sweep
+    # full adder + full subtractor (the 2-round majority forms), all combos
     for a in (False, True):
         for b in (False, True):
             for cin in (False, True):
                 s, c = enc(a).carrying_add(enc(b), enc(cin))
                 total = int(a) + int(b) + int(cin)
                 assert (s.decrypt(z), c.decrypt(z)) == (total % 2 == 1, total >= 2)
+                d, brw = enc(a).borrowing_sub(enc(b), enc(cin))
+                diff = int(a) - int(b) - int(cin)
+                assert (d.decrypt(z), brw.decrypt(z)) == (diff % 2 == 1, diff < 0)
     # select
     for sel in (False, True):
         got = enc(sel).select(enc(False), enc(True)).decrypt(z)
