@@ -36,6 +36,34 @@ from .ntt import bit_reverse_indices
 
 
 @dataclass(frozen=True, eq=False)
+class Fourstep32:
+    """Host precomputes for the four-step (matmul) formulation at one (q, n).
+
+    The size-n transform factors as x.reshape(n1, n2) -> (n1 x n1 modular
+    matmul) -> elementwise twiddle -> (n2 x n2 modular matmul), with the
+    bit-reversed output order of `ntt32` folded into the matrices so the two
+    paths interoperate freely. Each matmul runs on the MXU as 16 int8-limb
+    einsums (balanced base-256 digits, i32 accumulation, Shoup
+    recombination); XLA fuses the limb extract/combine into the dot
+    producers/consumers. Exact for q < 2^31.
+    """
+
+    n1: int
+    n2: int
+    V1_l: tuple  # 4 x (n1, n1) int8 limb planes of the left matrix
+    W2_l: tuple  # 4 x (n2, n2) of the right matrix
+    V1i_l: tuple  # inverses (carry the 1/n normalization)
+    W2i_l: tuple
+    T: np.ndarray  # (n1, n2) u32 middle twiddle
+    T_s: np.ndarray
+    Ti: np.ndarray
+    Ti_s: np.ndarray
+    P: tuple  # 2^{8s} mod q for limb-sum recombination, s = 0..6
+    P_s: tuple
+    K: tuple  # (2^32 * 2^{8s}) mod q: correction for negative i32 sums
+
+
+@dataclass(frozen=True, eq=False)
 class Ntt32Plan:
     """Pure precomputed twiddle stacks for one (q, n), q < 2^31."""
 
@@ -49,10 +77,98 @@ class Ntt32Plan:
     psi_inv_br_shoup: np.ndarray
     n_inv: int
     n_inv_shoup: int
+    fourstep: Fourstep32 | None = None
+
+
+def _host_limbs_i8(M: np.ndarray, q: int) -> tuple:
+    """Split a mod-q matrix into 4 balanced base-256 int8 limb planes."""
+    t = M.astype(np.int64)
+    t = np.where(t > q // 2, t - q, t)
+    limbs = []
+    for _ in range(4):
+        d = ((t + 128) & 255) - 128
+        limbs.append(d.astype(np.int8))
+        t = (t - d) >> 8
+    assert (t == 0).all()
+    return tuple(limbs)
+
+
+def _inv_mod_matrix(M: np.ndarray, q: int) -> np.ndarray:
+    """Inverse of M mod q by Gauss-Jordan over Z_q (exact Python ints)."""
+    n = M.shape[0]
+    A = [
+        [int(M[i, j]) for j in range(n)] + [int(i == j) for j in range(n)]
+        for i in range(n)
+    ]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if A[r][col] % q)
+        A[col], A[piv] = A[piv], A[col]
+        inv = mod_inverse(A[col][col] % q, q)
+        A[col] = [v * inv % q for v in A[col]]
+        for r in range(n):
+            if r != col and A[r][col] % q:
+                f = A[r][col] % q
+                A[r] = [(a - f * b) % q for a, b in zip(A[r], A[col])]
+    return np.array([[A[i][n + j] for j in range(n)] for i in range(n)], dtype=np.uint64)
+
+
+def _bitrev_int(x: int, bits: int) -> int:
+    r = 0
+    for t in range(bits):
+        r |= ((x >> t) & 1) << (bits - 1 - t)
+    return r
+
+
+def _fourstep_build(q: int, n: int, n1: int) -> Fourstep32:
+    """Four-step matrices with ntt32's bit-reversed output order folded in.
+
+    ntt32 computes X[k] = sum_i x[i] psi^((2*rev(k)+1) i) (negacyclic DIT,
+    bit-reversed output). With i = i1*n2 + i2, k = k1*n2 + k2 the mixed-radix
+    reversal is rev(k) = rev_l2(k2)*n1 + rev_l1(k1), and since psi has order
+    2n the k2-dependence of the left factor vanishes:
+      X[k1,k2] = sum_i2 [ (sum_i1 V1[k1,i1] x[i1,i2]) * T[k1,i2] ] W2[i2,k2]
+    """
+    n2 = n // n1
+    log1, log2 = n1.bit_length() - 1, n2.bit_length() - 1
+    psi = two_adic_generator(q, n.bit_length())  # order 2n
+    w = pow(psi, 2, q)  # order n
+    V1 = np.zeros((n1, n1), dtype=np.uint64)
+    T = np.zeros((n1, n2), dtype=np.uint64)
+    W2 = np.zeros((n2, n2), dtype=np.uint64)
+    for k1 in range(n1):
+        kk = _bitrev_int(k1, log1)
+        for i1 in range(n1):
+            V1[k1, i1] = pow(psi, (n2 * (2 * kk + 1) * i1) % (2 * n), q)
+        for i2 in range(n2):
+            T[k1, i2] = pow(psi, ((2 * kk + 1) * i2) % (2 * n), q)
+    for i2 in range(n2):
+        for k2 in range(n2):
+            W2[i2, k2] = pow(w, (n1 * i2 * _bitrev_int(k2, log2)) % n, q)
+
+    V1i = _inv_mod_matrix(V1, q)
+    W2i = _inv_mod_matrix(W2, q)
+    Ti = np.vectorize(lambda v: mod_inverse(int(v), q))(T).astype(np.uint64)
+    Tu = T.astype(np.uint32)
+    Tiu = Ti.astype(np.uint32)
+    return Fourstep32(
+        n1=n1,
+        n2=n2,
+        V1_l=_host_limbs_i8(V1, q),
+        W2_l=_host_limbs_i8(W2, q),
+        V1i_l=_host_limbs_i8(V1i, q),
+        W2i_l=_host_limbs_i8(W2i, q),
+        T=Tu,
+        T_s=shoup32(Tu, q),
+        Ti=Tiu,
+        Ti_s=shoup32(Tiu, q),
+        P=tuple(np.uint32((1 << (8 * s)) % q) for s in range(7)),
+        P_s=tuple(np.uint32(int(shoup32((1 << (8 * s)) % q, q)[()])) for s in range(7)),
+        K=tuple(np.uint32(((1 << 32) * ((1 << (8 * s)) % q)) % q) for s in range(7)),
+    )
 
 
 @lru_cache(maxsize=None)
-def ntt32_plan(q: int, n: int) -> Ntt32Plan:
+def ntt32_plan(q: int, n: int, fourstep: bool = False, n1: int | None = None) -> Ntt32Plan:
     assert n & (n - 1) == 0
     assert q < (1 << 31), "u32 NTT needs q < 2^31; use ops.ntt for larger q"
     log_n = n.bit_length() - 1
@@ -68,6 +184,9 @@ def ntt32_plan(q: int, n: int) -> Ntt32Plan:
     psi_br = np.array(pow_list, dtype=np.uint32)[rev]
     psi_inv_br = np.array(inv_list, dtype=np.uint32)[rev]
     n_inv = mod_inverse(n % q, q)
+    fs = None
+    if fourstep:
+        fs = _fourstep_build(q, n, n1 or (1 << ((log_n + 1) // 2)))
     return Ntt32Plan(
         q=q,
         n=n,
@@ -79,6 +198,7 @@ def ntt32_plan(q: int, n: int) -> Ntt32Plan:
         psi_inv_br_shoup=shoup32(psi_inv_br, q),
         n_inv=n_inv,
         n_inv_shoup=int(shoup32(n_inv, q)[()]),
+        fourstep=fs,
     )
 
 
@@ -157,6 +277,87 @@ def _r8_fwd(out, batch, n, q, plan, layer):
     return jnp.stack(outs, axis=-2).reshape(*batch, n)
 
 
+def _fs_limbs_dev(x: jnp.ndarray, q: int) -> list:
+    """u32 in [0, q) -> centered -> 4 balanced base-256 int8 limb planes."""
+    t = x.astype(jnp.int32)
+    t = jnp.where(t > q // 2, t - np.int32(q), t)
+    outs = []
+    for _ in range(4):
+        d = ((t + 128) & 255) - 128
+        outs.append(d.astype(jnp.int8))
+        t = (t - d) >> 8
+    return outs
+
+
+def _fs_combine(buckets, fs: Fourstep32, q: int) -> jnp.ndarray:
+    """Recombine 7 i32 limb-weight bucket sums into a reduced u32 value."""
+    acc = None
+    for s in range(7):
+        a = buckets[s].astype(jnp.uint32)
+        neg = (buckets[s] < 0).astype(jnp.uint32)
+        r = mul_shoup32(a, fs.P[s], fs.P_s[s], q)
+        r = r - neg * fs.K[s]
+        r = jnp.minimum(r, r + np.uint32(q))
+        acc = r if acc is None else acc + r
+        acc = jnp.minimum(acc, acc - np.uint32(q))
+    return acc
+
+
+def _fs_mm_left(M_l, x, fs: Fourstep32, q: int) -> jnp.ndarray:
+    """mod-q matmul over axis -2: out[.., k, n] = sum_i M[k, i] x[.., i, n]."""
+    Xl = _fs_limbs_dev(x, q)
+    buckets = [None] * 7
+    for i in range(4):
+        for j in range(4):
+            p = jnp.einsum(
+                "ki,...in->...kn",
+                jnp.asarray(M_l[j]),
+                Xl[i],
+                preferred_element_type=jnp.int32,
+            )
+            s = i + j
+            buckets[s] = p if buckets[s] is None else buckets[s] + p
+    return _fs_combine(buckets, fs, q)
+
+
+def _fs_mm_right(x, M_l, fs: Fourstep32, q: int) -> jnp.ndarray:
+    """mod-q matmul over axis -1: out[.., k, n] = sum_i x[.., k, i] M[i, n]."""
+    Xl = _fs_limbs_dev(x, q)
+    buckets = [None] * 7
+    for i in range(4):
+        for j in range(4):
+            p = jnp.einsum(
+                "...ki,in->...kn",
+                Xl[i],
+                jnp.asarray(M_l[j]),
+                preferred_element_type=jnp.int32,
+            )
+            s = i + j
+            buckets[s] = p if buckets[s] is None else buckets[s] + p
+    return _fs_combine(buckets, fs, q)
+
+
+def _fs_fwd(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
+    """(.., n) u32 -> (.., n) u32 in ntt32's bit-reversed output order."""
+    fs, q = plan.fourstep, plan.q
+    M = a.reshape(*a.shape[:-1], fs.n1, fs.n2)
+    y = _fs_mm_left(fs.V1_l, M, fs, q)
+    y = mul_shoup32(y, jnp.asarray(fs.T), jnp.asarray(fs.T_s), q)
+    z = _fs_mm_right(y, fs.W2_l, fs, q)
+    return z.reshape(*a.shape[:-1], plan.n)
+
+
+def _fs_inv(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
+    """Exact inverse of _fs_fwd; the matrix inverses already carry the 1/n
+    normalization, so no extra n_inv factor is applied."""
+    fs, q = plan.fourstep, plan.q
+    M = a.reshape(*a.shape[:-1], fs.n1, fs.n2)
+    y = _fs_mm_right(M, fs.W2i_l, fs, q)
+    y = mul_shoup32(y, jnp.asarray(fs.Ti), jnp.asarray(fs.Ti_s), q)
+    x = _fs_mm_left(fs.V1i_l, y, fs, q)
+    return x.reshape(*a.shape[:-1], plan.n)
+
+
 # Widest fused pass. Measured on v5e at the TFHE reference pipeline:
 # radix-2 -> 246 PBS/s, radix-4 -> 287, radix-8 -> 282 (register pressure
 # eats the traffic win past two fused layers), so radix-4 is the default.
@@ -183,6 +384,8 @@ def ntt32(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
     n, q = plan.n, plan.q
     if n == 1:
         return u32(a)
+    if plan.fourstep is not None:
+        return _fs_fwd(u32(a), plan)
     batch = a.shape[:-1]
     out = u32(a)
     layer = 0
@@ -279,6 +482,8 @@ def intt32(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
     n, q = plan.n, plan.q
     if n == 1:
         return u32(a)
+    if plan.fourstep is not None:
+        return _fs_inv(u32(a), plan)
     batch = a.shape[:-1]
     out = u32(a)
     # reverse of the forward schedule: same groups, processed top-down
