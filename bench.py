@@ -43,6 +43,13 @@ def main():
         default="tfhe",
     )
     ap.add_argument(
+        "--fourstep",
+        action="store_true",
+        help="ntt metric only: run the u32 engine through the four-step "
+        "MXU matmul path (ntt32_plan(fourstep=True)) instead of the "
+        "radix-4 stage path",
+    )
+    ap.add_argument(
         "--platform",
         choices=["cpu-mesh", "native"],
         default="cpu-mesh",
@@ -287,7 +294,10 @@ def bench_ntt(args):
         ("u32", 31, ntt32_plan, negacyclic_mul32, add_mod32, np.uint32),
     ):
         q = next(two_adic_primes(log_q, log_n + 1))
-        plan = plan_fn(q, n)
+        if name == "u32" and getattr(args, "fourstep", False):
+            plan = plan_fn(q, n, fourstep=True)
+        else:
+            plan = plan_fn(q, n)
         a = jnp.asarray(rng.integers(0, q, size=(B, n), dtype=dtype))
         b = jnp.asarray(rng.integers(0, q, size=(B, n), dtype=dtype))
 
