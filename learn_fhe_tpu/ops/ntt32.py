@@ -16,6 +16,7 @@ reference for any q that fits both.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -169,6 +170,15 @@ def _fourstep_build(q: int, n: int, n1: int) -> Fourstep32:
 
 @lru_cache(maxsize=None)
 def ntt32_plan(q: int, n: int, fourstep: bool = False, n1: int | None = None) -> Ntt32Plan:
+    # Experiment knob: FHE_TPU_NTT32_FOURSTEP=<min_log_n> flips every plan
+    # with log_n >= min_log_n onto the four-step MXU path, so full pipelines
+    # (TFHE torus-CRT at N=2^11, FHEW at N=2^9..11) can be A/B'd on chip
+    # without touching call sites. Read at plan-build time; plans are
+    # lru-cached, so set it before the first param construction.
+    if not fourstep:
+        env = os.environ.get("FHE_TPU_NTT32_FOURSTEP")
+        if env is not None and n.bit_length() - 1 >= int(env):
+            fourstep = True
     assert n & (n - 1) == 0
     assert q < (1 << 31), "u32 NTT needs q < 2^31; use ops.ntt for larger q"
     log_n = n.bit_length() - 1
