@@ -319,6 +319,12 @@ class EvalModParams:
     k: int = 12  # |I| <= k
     r: int = 3  # double-angle squarings
     degree: int = 30  # Chebyshev degree before doubling
+    # Cubic arcsine correction: evaluate w ~ (c/2pi)(u + u^3/6) instead of
+    # (c/2pi)u on the sine output u, cancelling the sine model's cubic error
+    # -(2pi w/c)^2/6 (the binding term at message amplitudes ~1e-4: host
+    # model 23.9 -> 46.3-bit floor). Costs 2 extra levels (two ct muls + one
+    # constant mul replace the single constant multiply).
+    arcsin: bool = False
 
     @cached_property
     def cheb_coeffs(self) -> np.ndarray:
@@ -342,8 +348,22 @@ def _eval_mod_real_s(
     for _ in range(em.r):  # cos 2a = 2 cos^2 a - 1
         sq = _smul(params, rlk, cos_ct, cos_ct)
         cos_ct = _sadd_const(params, _SCt(_double(sq.ct), sq.S), -1.0)
-    # slots ~ cos(2pi x/c - pi/2) = sin(2pi x/c); scale by c/2pi and land
-    # the true scale exactly on params.scale (folds the tracked drift away)
+    # slots u ~ cos(2pi x/c - pi/2) = sin(2pi x/c)
+    if em.arcsin:
+        # w ~ (c/2pi) asin(u) to cubic order, factored u * (A + (A/6) u^2)
+        # with A = c/2pi so the whole correction costs 2 levels beyond the
+        # plain path. Back-solve the inner branch's scale target so the
+        # final product lands exactly on params.scale (levels are prefix
+        # bases of params.qs, and each mul/const-mul drops exactly one).
+        l_cos = len(cos_ct.ct.qs)
+        assert l_cos >= 4, f"arcsin correction needs 3 levels, have {l_cos - 1}"
+        A = c / (2 * np.pi)
+        S_p = Fraction(params.scale) * params.qs[l_cos - 3] / cos_ct.S
+        u2 = _smul(params, rlk, cos_ct, cos_ct)
+        p = _sadd_const(params, _smul_const(params, u2, A / 6.0, S_p), A)
+        return _smul(params, rlk, p, cos_ct)
+    # scale by c/2pi and land the true scale exactly on params.scale
+    # (folds the tracked drift away)
     return _smul_const(params, cos_ct, c / (2 * np.pi), Fraction(params.scale))
 
 

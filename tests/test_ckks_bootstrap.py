@@ -55,6 +55,32 @@ def test_eval_chebyshev_matches_host():
 
 
 @pytest.mark.slow
+def test_full_bootstrap_arcsin_correction():
+    """The cubic arcsine correction (EvalModParams.arcsin) lifts the sine
+    model's cubic-error floor for 2 extra levels; at N=2^5 the bootstrap is
+    then transform/noise-bound, measured 26.9 bits vs 26.2 plain on the
+    same keys (host model of the pure-function floor: 23.9 -> 46.3 bits)."""
+    rng = np.random.default_rng(11)
+    params = C.CkksParams(log_n=5, log_qi=55, big_l=22)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    low = C.to_level(ct, (params.qs[0],))
+    em = E.EvalModParams(k=24, r=4, degree=34, arcsin=True)
+    out = E.bootstrap(params, bk, rlk, cjk, low, em)
+    assert len(out.qs) >= 3, f"levels left: {len(out.qs)}"
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = np.max(np.abs(got - m))
+    rel_bits = -np.log2(err / np.max(np.abs(m)))
+    print(f"bootstrap arcsin: {len(out.qs)} levels left, {rel_bits:.1f} bits")
+    assert rel_bits > 25.0, rel_bits
+
+
+@pytest.mark.slow
 def test_full_bootstrap_roundtrip():
     """encrypt -> drop to the last limb -> bootstrap -> decrypt ~ m, with
     usable levels remaining."""
