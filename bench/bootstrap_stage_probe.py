@@ -81,16 +81,19 @@ def main():
         v = C.decode(params, C.decrypt(params, sk, ct_), ct_.qs)
         return v * scale_corr
 
-    # --- stage 1: mod_raise (exact embed; error vs low's own decode) -------
-    raised = B.mod_raise(params, low)
+    # --- stage 1: mod_raise (exact embed: raised phase == low phase mod q0,
+    # as INTEGERS in the coefficient domain) --------------------------------
+    from learn_fhe_tpu.utils.crt import rns_to_bigints
+
+    raised = E.mod_raise(params, low)
     v_low = dec(low)
     v_raised = dec(raised)
-    # raised phase = low phase + q0*I; slots differ by c*I per slot --
-    # measure only the fractional disagreement (mod c) per component
-    d = v_raised - v_low
-    frac = np.abs(d - c * np.round(np.real(d) / c) - 1j * c * np.round(np.imag(d) / c))
-    print(f"mod_raise: wrap-residual max {np.max(frac):.2e} "
-          f"({bits(np.max(frac), np.max(np.abs(v_low))):.1f} bits vs input mag)")
+    p_low = np.asarray(C.decrypt(params, sk, low))[..., 0, :].astype(np.uint64)
+    p_raised = np.asarray(C.decrypt(params, sk, raised)).astype(np.uint64)
+    big = rns_to_bigints(p_raised, raised.qs)
+    ok = all((x - int(w)) % q0 == 0 for x, w in zip(big, p_low))
+    print(f"mod_raise: exact (phase mod q0 preserved): {ok}")
+    assert ok
 
     # --- stage 2: CoeffToSlot ----------------------------------------------
     slots = B.coeff_to_slot(bk, raised)
