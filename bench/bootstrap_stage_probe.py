@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--log-n", type=int, default=5)
     ap.add_argument("--big-l", type=int, default=21)
+    ap.add_argument("--log-qi", type=int, default=55)
     ap.add_argument("--h", type=int, default=0, help="sparse secret weight (0 = dense)")
     ap.add_argument("--r", type=int, default=3, help="fmat chunk size")
     ap.add_argument("--k", type=int, default=24)
@@ -60,7 +61,7 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(17)
-    params = C.CkksParams(log_n=args.log_n, log_qi=55, big_l=args.big_l)
+    params = C.CkksParams(log_n=args.log_n, log_qi=args.log_qi, big_l=args.big_l)
     sk = (
         C.sk_gen_sparse(params, args.h, rng) if args.h else C.sk_gen(params, rng)
     )
