@@ -429,6 +429,10 @@ def rescale_k(x: jnp.ndarray, qs: tuple[int, ...], k: int) -> jnp.ndarray:
     x: (..., L, N) over qs; returns (..., L-k, N) over qs[:-k].
     """
     assert k > 0
+    assert len(qs) > k, (
+        f"rescale_k: cannot drop {k} of {len(qs)} limbs — level budget "
+        f"exhausted (raise big_l / use fewer multiplies)"
+    )
     keep = qs[:-k]
     drop = qs[-k:]
     p = 1
