@@ -81,6 +81,33 @@ def test_full_bootstrap_arcsin_correction():
 
 
 @pytest.mark.slow
+def test_full_bootstrap_high_precision():
+    """High-precision configuration: 60-bit primes lift the Delta=2^55
+    rescale/ksk noise floor (+4.5 bits, stage probe) and the arcsine
+    correction lifts the sine-model floor; together the end-to-end
+    bootstrap reaches ~29.8 relative bits at N=2^5 (was 25.3 at the
+    55-bit plain config)."""
+    rng = np.random.default_rng(11)
+    params = C.CkksParams(log_n=5, log_qi=60, big_l=22)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    low = C.to_level(ct, (params.qs[0],))
+    em = E.EvalModParams(k=24, r=4, degree=34, arcsin=True)
+    out = E.bootstrap(params, bk, rlk, cjk, low, em)
+    assert len(out.qs) >= 2, f"levels left: {len(out.qs)}"
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = np.max(np.abs(got - m))
+    rel_bits = -np.log2(err / np.max(np.abs(m)))
+    print(f"bootstrap hi-prec: {len(out.qs)} levels left, {rel_bits:.1f} bits")
+    assert rel_bits > 27.0, rel_bits
+
+
+@pytest.mark.slow
 def test_full_bootstrap_roundtrip():
     """encrypt -> drop to the last limb -> bootstrap -> decrypt ~ m, with
     usable levels remaining."""
