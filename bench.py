@@ -43,6 +43,12 @@ def main():
         default="tfhe",
     )
     ap.add_argument(
+        "--hi-prec",
+        action="store_true",
+        help="ckks_bootstrap metric only: 60-bit primes + arcsine "
+        "correction (26.4 bits at N=2^10 vs 21.7 default; 2 more levels)",
+    )
+    ap.add_argument(
         "--fourstep",
         action="store_true",
         help="ntt metric only: run the u32 engine through the four-step "
@@ -530,10 +536,16 @@ def bench_ckks_bootstrap(args):
     rng = np.random.default_rng(17)
     log_n = 5 if args.smoke else (args.log_n or 10)
     # N=2^13 spends two more levels in the 4-chunk CtS/StC at l=4096
-    # (tests/test_ckks_bootstrap.py::test_full_bootstrap_n8192)
+    # (tests/test_ckks_bootstrap.py::test_full_bootstrap_n8192); the
+    # high-precision config (--hi-prec: 60-bit primes + arcsine correction,
+    # ARCHITECTURE 16) spends two more in EvalMod
     big_l = 20 if args.smoke else (23 if log_n >= 13 else 21)
+    log_qi = 55
+    if getattr(args, "hi_prec", False):
+        big_l += 2
+        log_qi = 60
     batch = args.batch or (1 if args.smoke else (2 if log_n >= 13 else 8))
-    params = C.CkksParams(log_n=log_n, log_qi=55, big_l=big_l)
+    params = C.CkksParams(log_n=log_n, log_qi=log_qi, big_l=big_l)
     if not args.smoke:
         # overlap the per-level mul/rotate compiles with keygen (the remote
         # compile helper serves concurrent requests, ARCHITECTURE §10)
@@ -568,7 +580,7 @@ def bench_ckks_bootstrap(args):
             (params.qs[0],),
         )
     )
-    em = E.EvalModParams(k=24, r=4, degree=34)
+    em = E.EvalModParams(k=24, r=4, degree=34, arcsin=getattr(args, "hi_prec", False))
 
     t0 = time.time()
     out = E.bootstrap(params, bk, rlk, cjk, low, em)
