@@ -81,6 +81,45 @@ def test_full_bootstrap_arcsin_correction():
 
 
 @pytest.mark.slow
+def test_full_bootstrap_batch_sharded():
+    """The batched bootstrap's leading ciphertext axis shards over the
+    device mesh (dp): same pipeline, batch split 4-ways x limb 2 — output
+    bit-identical to the unsharded run (every op is batch-elementwise, so
+    XLA keeps the sharding end to end with no resharding collectives)."""
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.parallel.mesh import make_mesh, shard_batch
+
+    rng = np.random.default_rng(23)
+    params = C.CkksParams(log_n=5, log_qi=55, big_l=20)
+    sk = C.sk_gen(params, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    ms = [(rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+          for _ in range(8)]
+    lows = [C.to_level(
+        C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng),
+        (params.qs[0],)) for m in ms]
+    bct = C.CkksCiphertext(
+        jnp.stack([c.b for c in lows]), jnp.stack([c.a for c in lows]),
+        (params.qs[0],))
+    out = E.bootstrap(params, bk, rlk, cjk, bct)
+
+    mesh = make_mesh(n_batch=4, n_limb=2)
+    bct_sh = C.CkksCiphertext(
+        shard_batch(mesh, bct.b), shard_batch(mesh, bct.a), bct.qs)
+    out_sh = E.bootstrap(params, bk, rlk, cjk, bct_sh)
+    assert out_sh.qs == out.qs
+    np.testing.assert_array_equal(np.asarray(out_sh.b), np.asarray(out.b))
+    np.testing.assert_array_equal(np.asarray(out_sh.a), np.asarray(out.a))
+    one = C.CkksCiphertext(out_sh.b[0], out_sh.a[0], out_sh.qs)
+    got = C.decode(params, C.decrypt(params, sk, one), out_sh.qs)
+    assert np.max(np.abs(got - ms[0])) < np.max(np.abs(ms[0])) * 0.05
+
+
+@pytest.mark.slow
 def test_full_bootstrap_high_precision():
     """High-precision configuration: 60-bit primes lift the Delta=2^55
     rescale/ksk noise floor (+4.5 bits, stage probe) and the arcsine
