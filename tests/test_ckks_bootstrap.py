@@ -286,3 +286,33 @@ def test_full_bootstrap_n8192():
     rel_bits = -np.log2(err / np.max(np.abs(m)))
     print(f"bootstrap N=8192 (h=64): {len(out.qs)} levels left, {rel_bits:.1f} relative bits")
     assert rel_bits > 16.0, rel_bits
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("FHE_TPU_HEAVY"),
+    reason="~12 min single-run test; set FHE_TPU_HEAVY=1 to include",
+)
+def test_full_bootstrap_n8192_high_precision():
+    """N=2^13 with the high-precision config (60-bit primes + arcsine,
+    ARCHITECTURE 16): the staged probe measured 23.7 relative bits
+    end-to-end with 2 levels left on 2026-08-18 (vs 18.9 at the 55-bit
+    plain config) — EvalMod's sqrt(N)-scaled noise wall binds, the l=4096
+    transforms sit ~5 bits above it."""
+    rng = np.random.default_rng(31)
+    params = C.CkksParams(log_n=13, log_qi=60, big_l=25)
+    sk = C.sk_gen_sparse(params, 64, rng)
+    rlk = C.rlk_gen(params, sk, rng)
+    cjk = C.cjk_gen(params, sk, rng)
+    bp = B.BootstrapParams(params, r=3)
+    bk = B.key_gen(bp, sk, rng)
+    m = (rng.standard_normal(params.l) + 1j * rng.standard_normal(params.l)) * 1e-4
+    ct = C.sk_encrypt(params, sk, C.encode(params, m), params.qs, rng)
+    em = E.EvalModParams(k=24, r=4, degree=34, arcsin=True)
+    out = E.bootstrap(params, bk, rlk, cjk, C.to_level(ct, (params.qs[0],)), em)
+    assert len(out.qs) >= 2, len(out.qs)
+    got = C.decode(params, C.decrypt(params, sk, out), out.qs)
+    err = np.max(np.abs(got - m))
+    rel_bits = -np.log2(err / np.max(np.abs(m)))
+    print(f"bootstrap N=8192 hi-prec: {len(out.qs)} levels left, {rel_bits:.1f} bits")
+    assert rel_bits > 21.0, rel_bits
