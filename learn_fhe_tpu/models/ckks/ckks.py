@@ -437,6 +437,21 @@ def mul_constant(params: CkksParams, m, ct: CkksCiphertext) -> CkksCiphertext:
 
 
 @partial(jax.jit, static_argnums=(0,))
+def _add_pt(params: CkksParams, pt: jnp.ndarray, ct: CkksCiphertext) -> CkksCiphertext:
+    plan = params.plan(ct.qs)
+    return CkksCiphertext(rns_add(ct.b, pt, plan), ct.a, ct.qs)
+
+
+def add_constant(params: CkksParams, m, ct: CkksCiphertext) -> CkksCiphertext:
+    """ct + encode(m): plaintext addition into b, no level consumed. Assumes
+    ct sits at the canonical scale Delta (as after mul/rescale); callers
+    tracking exact drifted scales (evalmod.py) encode at scale_int instead.
+    No reference counterpart (it stops at mul_constant, `ckks.rs:250`)."""
+    pt = encode(params, m, ct.qs)
+    return _add_pt(params, pt, ct)
+
+
+@partial(jax.jit, static_argnums=(0,))
 def mul(
     params: CkksParams, rlk: CkksKeySwitchingKey, ct0: CkksCiphertext, ct1: CkksCiphertext
 ) -> CkksCiphertext:

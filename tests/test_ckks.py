@@ -114,6 +114,22 @@ def test_mul_constant_chain(ckks_env):
     assert_bits(acc_m, C.decode(params, C.decrypt(params, sk, ct), ct.qs), 32)
 
 
+def test_add_constant(ckks_env):
+    """ct + encode(m): no level consumed, and correct both at the top level
+    and mid-chain (after a mul_constant rescale)."""
+    params, sk, pk, rng = ckks_env
+    m0, m1, m2 = (_sample(params, rng) for _ in range(3))
+    ct = C.pk_encrypt(params, pk, C.encode(params, m0), rng)
+    out = C.add_constant(params, m1, ct)
+    assert out.qs == ct.qs
+    assert_bits(m0 + m1, C.decode(params, C.decrypt(params, sk, out), out.qs), 40)
+    mid = C.mul_constant(params, m2, ct)  # one rescale down
+    out = C.add_constant(params, m1, mid)
+    assert_bits(
+        m0 * m2 + m1, C.decode(params, C.decrypt(params, sk, out), out.qs), 36
+    )
+
+
 def test_rotate_conjugate(ckks_env):
     params, sk, pk, rng = ckks_env
     m = _sample(params, rng)
