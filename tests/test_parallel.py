@@ -397,6 +397,83 @@ class TestCoefShardedNtt:
         np.testing.assert_array_equal(got, ref)
 
 
+class TestCoef32ShardedNtt:
+    """Coefficient-axis sharding for the u32 engine (parallel/coef32.py):
+    must be BIT-IDENTICAL to ops.ntt32's fused-radix single-device path
+    (canonical modular reductions make any layer decomposition exact)."""
+
+    def _q(self, log_n, bits=28):
+        from learn_fhe_tpu.utils.primes import two_adic_primes
+
+        return next(two_adic_primes(bits, log_n + 1))
+
+    def test_forward_inverse_roundtrip_vs_unsharded(self, rng):
+        from learn_fhe_tpu.ops.ntt32 import intt32, ntt32, ntt32_plan
+        from learn_fhe_tpu.parallel.coef import coef_mesh, shard_coef
+        from learn_fhe_tpu.parallel.coef32 import (
+            coef32_sharded_intt,
+            coef32_sharded_ntt,
+        )
+
+        log_n, n = 9, 512
+        q = self._q(log_n)
+        plan = ntt32_plan(q, n)
+        mesh = coef_mesh(8)
+        x = rng.integers(0, q, size=(3, n)).astype(np.uint32)
+        ref_eval = np.asarray(ntt32(jnp.asarray(x), plan))
+        got_eval = np.asarray(
+            coef32_sharded_ntt(mesh, shard_coef(mesh, jnp.asarray(x)), q)
+        )
+        np.testing.assert_array_equal(got_eval, ref_eval)
+        back = np.asarray(
+            coef32_sharded_intt(mesh, shard_coef(mesh, jnp.asarray(ref_eval)), q)
+        )
+        np.testing.assert_array_equal(back, x)
+        np.testing.assert_array_equal(
+            np.asarray(intt32(jnp.asarray(ref_eval), plan)), back
+        )
+
+    @pytest.mark.parametrize("d", [2, 4, 8])
+    def test_mul_matches_unsharded_all_widths(self, rng, d):
+        from learn_fhe_tpu.ops.ntt32 import negacyclic_mul32, ntt32_plan
+        from learn_fhe_tpu.parallel.coef import coef_mesh, shard_coef
+        from learn_fhe_tpu.parallel.coef32 import coef32_sharded_mul
+
+        log_n, n = 8, 256
+        q = self._q(log_n)
+        plan = ntt32_plan(q, n)
+        mesh = coef_mesh(d)
+        a = rng.integers(0, q, size=(2, n)).astype(np.uint32)
+        b = rng.integers(0, q, size=(2, n)).astype(np.uint32)
+        ref = np.asarray(negacyclic_mul32(jnp.asarray(a), jnp.asarray(b), plan))
+        got = np.asarray(
+            coef32_sharded_mul(
+                mesh, shard_coef(mesh, jnp.asarray(a)), shard_coef(mesh, jnp.asarray(b)), q
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_mul_headline_shape(self, rng):
+        """The NTT benchmark shape (N=2^14, 28-bit prime) sharded 8 ways."""
+        from learn_fhe_tpu.ops.ntt32 import negacyclic_mul32, ntt32_plan
+        from learn_fhe_tpu.parallel.coef import coef_mesh, shard_coef
+        from learn_fhe_tpu.parallel.coef32 import coef32_sharded_mul
+
+        log_n, n = 14, 16384
+        q = self._q(log_n)
+        plan = ntt32_plan(q, n)
+        mesh = coef_mesh(8)
+        a = rng.integers(0, q, size=(2, n)).astype(np.uint32)
+        b = rng.integers(0, q, size=(2, n)).astype(np.uint32)
+        ref = np.asarray(negacyclic_mul32(jnp.asarray(a), jnp.asarray(b), plan))
+        got = np.asarray(
+            coef32_sharded_mul(
+                mesh, shard_coef(mesh, jnp.asarray(a)), shard_coef(mesh, jnp.asarray(b)), q
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_noise_profilers_pin_growth(rng):
     """Noise observability subsystem (SURVEY §5): the gate-chain profiler
     must show DEPTH-INDEPENDENT budgets (each gate bootstraps, so noise
