@@ -1,7 +1,7 @@
 """learn-fhe-tpu: a TPU-native FHE primitive library in JAX/Pallas.
 
 A from-scratch re-design of the capabilities of the `learn-fhe` Rust reference
-(three schemes -- CKKS, TFHE, FHEW -- over a shared negacyclic-ring / RNS /
+(three schemes -- CKKS, TFHE, FHEW -- plus BGV, over a shared negacyclic-ring / RNS /
 gadget-decomposition substrate), built TPU-first:
 
 - polynomials are batched ``jnp`` arrays with a trailing coefficient axis,
@@ -14,7 +14,7 @@ gadget-decomposition substrate), built TPU-first:
 Layer map (mirrors SURVEY.md section 1):
   utils/   -- host-side: prime search, RNS tables, big-int CRT, distributions
   ops/     -- device kernels: modular ops, NTT, FFT64, decompose, automorphism
-  models/  -- the three schemes: ckks/, tfhe/, fhew/
+  models/  -- the schemes: ckks/, tfhe/, fhew/, bgv/
   parallel/-- mesh construction, sharded batched-bootstrap pipelines
 """
 

@@ -1,0 +1,184 @@
+"""BGV (models/bgv) — exact leveled arithmetic over Z_t.
+
+Everything here asserts EXACT equality mod t (BGV is an exact scheme; any
+drift is a bug): roundtrips, SIMD slot semantics, deep mul chains across
+mod-switches, rotations, and the plaintext-factor bookkeeping."""
+
+import numpy as np
+import pytest
+
+import learn_fhe_tpu.models.bgv as G
+
+
+@pytest.fixture(scope="module")
+def env():
+    rng = np.random.default_rng(41)
+    params = G.BgvParams(log_n=6, t=65537, log_qi=45, big_l=4)
+    sk = G.sk_gen(params, rng)
+    pk = G.pk_gen(params, sk, rng)
+    rlk = G.rlk_gen(params, sk, rng)
+    return params, sk, pk, rlk, rng
+
+
+def _msg(params, rng, shape=()):
+    return rng.integers(0, params.t, size=shape + (params.n,), dtype=np.int64)
+
+
+def test_encrypt_decrypt_roundtrip(env):
+    params, sk, pk, rlk, rng = env
+    m = _msg(params, rng)
+    for ct in (
+        G.sk_encrypt(params, sk, G.encode(params, m), params.qs, rng),
+        G.pk_encrypt(params, pk, G.encode(params, m), rng),
+    ):
+        got = G.decrypt(params, sk, ct)
+        np.testing.assert_array_equal(got, m)
+
+
+def test_coeff_encoding_roundtrip(env):
+    params, sk, pk, rlk, rng = env
+    m = _msg(params, rng)
+    ct = G.sk_encrypt(params, sk, G.encode_coeffs(params, m), params.qs, rng)
+    np.testing.assert_array_equal(G.decrypt_coeffs(params, sk, ct), m)
+
+
+def test_add_sub_exact(env):
+    params, sk, pk, rlk, rng = env
+    m0, m1 = _msg(params, rng), _msg(params, rng)
+    c0 = G.pk_encrypt(params, pk, G.encode(params, m0), rng)
+    c1 = G.pk_encrypt(params, pk, G.encode(params, m1), rng)
+    np.testing.assert_array_equal(
+        G.decrypt(params, sk, G.add(c0, c1)), (m0 + m1) % params.t
+    )
+    np.testing.assert_array_equal(
+        G.decrypt(params, sk, G.sub(c0, c1)), (m0 - m1) % params.t
+    )
+
+
+def test_mod_switch_preserves_plaintext(env):
+    params, sk, pk, rlk, rng = env
+    m = _msg(params, rng)
+    ct = G.pk_encrypt(params, pk, G.encode(params, m), rng)
+    for _ in range(len(params.qs) - 1):
+        ct = G.mod_switch(params, ct)
+        np.testing.assert_array_equal(G.decrypt(params, sk, ct), m)
+    assert len(ct.qs) == 1 and ct.factor != 1
+
+
+def test_mul_exact_slotwise(env):
+    params, sk, pk, rlk, rng = env
+    m0, m1 = _msg(params, rng), _msg(params, rng)
+    c0 = G.pk_encrypt(params, pk, G.encode(params, m0), rng)
+    c1 = G.pk_encrypt(params, pk, G.encode(params, m1), rng)
+    out = G.mul(params, rlk, c0, c1)
+    np.testing.assert_array_equal(G.decrypt(params, sk, out), (m0 * m1) % params.t)
+
+
+def test_mul_chain_deep_exact(env):
+    """big_l - 1 sequential multiplies (each consumes one limb) stay EXACT —
+    the noise analysis in the module docstring, demonstrated end-to-end."""
+    params, sk, pk, rlk, rng = env
+    ms = [_msg(params, rng) for _ in range(len(params.qs))]
+    cts = [G.pk_encrypt(params, pk, G.encode(params, m), rng) for m in ms]
+    acc_m, acc = ms[0], cts[0]
+    for m, ct in zip(ms[1:], cts[1:]):
+        # bring the fresh operand down to acc's level exactly
+        while len(ct.qs) > len(acc.qs):
+            ct = G.mod_switch(params, ct)
+        # factors differ (acc went through muls); rescale ct's factor match:
+        # multiply acc by 1 to... factors: adjust by re-encoding is cheating —
+        # instead mul() multiplies factors, so no alignment is needed there.
+        acc = G.mul(params, rlk, acc, ct)
+        acc_m = (acc_m * m) % params.t
+        np.testing.assert_array_equal(G.decrypt(params, sk, acc), acc_m)
+
+
+def test_mul_plain_and_add_plain(env):
+    params, sk, pk, rlk, rng = env
+    m0, m1, m2 = (_msg(params, rng) for _ in range(3))
+    ct = G.pk_encrypt(params, pk, G.encode(params, m0), rng)
+    ct = G.mul_plain(params, m1, ct)
+    np.testing.assert_array_equal(G.decrypt(params, sk, ct), (m0 * m1) % params.t)
+    # after a mod_switch the factor != 1: add_plain must compensate
+    ct = G.mod_switch(params, ct)
+    ct = G.add_plain(params, m2, ct)
+    np.testing.assert_array_equal(
+        G.decrypt(params, sk, ct), (m0 * m1 + m2) % params.t
+    )
+
+
+def test_rotate_rolls_slot_rows(env):
+    params, sk, pk, rlk, rng = env
+    m = _msg(params, rng)
+    ct = G.pk_encrypt(params, pk, G.encode(params, m), rng)
+    half = params.n // 2
+    for j in (1, 3, half - 1):
+        rtk = G.rtk_gen(params, sk, j, rng)
+        got = G.decrypt(params, sk, G.rotate(params, rtk, ct))
+        want = np.concatenate([np.roll(m[:half], -j), np.roll(m[half:], -j)])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_conjugate_swaps_rows(env):
+    params, sk, pk, rlk, rng = env
+    m = _msg(params, rng)
+    ct = G.pk_encrypt(params, pk, G.encode(params, m), rng)
+    cjk = G.cjk_gen(params, sk, rng)
+    got = G.decrypt(params, sk, G.conjugate(params, cjk, ct))
+    half = params.n // 2
+    want = np.concatenate([m[half:], m[:half]])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_axis_broadcasts(env):
+    params, sk, pk, rlk, rng = env
+    m = _msg(params, rng, shape=(3,))
+    ct = G.sk_encrypt(params, sk, G.encode(params, m), params.qs, rng)
+    # encode gives (3, L, N)? -> sk_encrypt broadcasts pt against (L, N) a/e
+    out = G.decrypt(params, sk, ct)
+    np.testing.assert_array_equal(out, m)
+
+
+def test_exhaustive_small_products(env):
+    """All products over a small value grid land exactly (slot 0 carries the
+    pair, the rest fuzz with random values)."""
+    params, sk, pk, rlk, rng = env
+    grid = [0, 1, 2, params.t - 1, params.t // 2, 12345]
+    for x in grid:
+        for y in grid:
+            m0, m1 = _msg(params, rng), _msg(params, rng)
+            m0[0], m1[0] = x, y
+            c0 = G.pk_encrypt(params, pk, G.encode(params, m0), rng)
+            c1 = G.pk_encrypt(params, pk, G.encode(params, m1), rng)
+            got = G.decrypt(params, sk, G.mul(params, rlk, c0, c1))
+            assert got[0] == (x * y) % params.t, (x, y, got[0])
+            np.testing.assert_array_equal(got, (m0 * m1) % params.t)
+
+
+def test_larger_ring(env):
+    """N=2^9 at the same t: order map, keys, mul, rotation all hold."""
+    rng = np.random.default_rng(43)
+    params = G.BgvParams(log_n=9, t=65537, log_qi=45, big_l=3)
+    sk = G.sk_gen(params, rng)
+    rlk = G.rlk_gen(params, sk, rng)
+    m0, m1 = _msg(params, rng), _msg(params, rng)
+    c0 = G.sk_encrypt(params, sk, G.encode(params, m0), params.qs, rng)
+    c1 = G.sk_encrypt(params, sk, G.encode(params, m1), params.qs, rng)
+    np.testing.assert_array_equal(
+        G.decrypt(params, sk, G.mul(params, rlk, c0, c1)), (m0 * m1) % params.t
+    )
+    rtk = G.rtk_gen(params, sk, 7, rng)
+    got = G.decrypt(params, sk, G.rotate(params, rtk, c0))
+    half = params.n // 2
+    want = np.concatenate([np.roll(m0[:half], -7), np.roll(m0[half:], -7)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_security_estimate_hookup(env):
+    from learn_fhe_tpu.utils import security as S
+
+    params, *_ = env
+    import math
+
+    e = S.estimate(params.n, sum(math.log2(q) for q in params.qps))
+    assert e.n == params.n  # toy ring: just proves the API composes
