@@ -231,13 +231,16 @@ def main():
             return jax.lax.fori_loop(0, K, body, (x, y))
         return run
 
+    from bench import fetch_sync  # tunnel-proof sync (block_until_ready lies)
+
     for name, f in [("fourstep", polymul_fs), ("stages", polymul_std)] * 2:
         run = chained(f)
-        out = jax.block_until_ready(run(a, b))
+        out = run(a, b)
+        fetch_sync(out[0])
         t0 = time.time()
         for _ in range(args.iters):
-            out = run(a, b)
-        jax.block_until_ready(out)
+            out = run(*out)  # data-dependent chain across reps too
+        fetch_sync(out[0])
         dt = (time.time() - t0) / args.iters / K
         print(f"{name:9s}: {B / dt:10.0f} polymuls/s  ({dt * 1e3:.2f} ms per {B}-batch)")
 

@@ -82,14 +82,17 @@ def main():
                 print(f"  {s}")
         return
 
+    from bench import fetch_sync  # tunnel-proof sync (block_until_ready lies)
+
     for B in (64, 128, 192, 256, 384, 512):
         step, a2n, b2n = build(B)
         f = jax.jit(step)
-        out = jax.block_until_ready(f(a2n, b2n))
+        out = f(a2n, b2n)
+        fetch_sync(out)
         t0 = time.time()
         for _ in range(args.iters):
             out = f(a2n, b2n)
-        jax.block_until_ready(out)
+        fetch_sync(out)
         dt = (time.time() - t0) / args.iters
         print(f"batch {B:4d}: {B / dt:7.1f} bootstraps/s  ({dt * 1e3:.1f} ms/batch)", flush=True)
 

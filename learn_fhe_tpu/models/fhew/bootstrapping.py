@@ -573,6 +573,21 @@ def key_share_gen(
     return BootstrapKeyShare(ksk_b, brk, ak_b)
 
 
+def merge_chunk_size(n_keys: int, target: int = 64) -> int:
+    """Internal-product merge chunk width chosen so the whole merge compiles
+    as FEW program shapes as possible (prewarmed in models/fhew/warmup.py):
+    the largest divisor of n_keys <= target (one shape exactly, e.g.
+    600 -> 10x60), falling back to ceil-equalized widths when n_keys has no
+    usable divisor (at most two shapes)."""
+    if n_keys <= target:
+        return max(1, n_keys)
+    for c in range(target, max(1, target // 2) - 1, -1):
+        if n_keys % c == 0:
+            return c
+    n_chunks = -(-n_keys // target)
+    return -(-n_keys // n_chunks)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _merge_chunk(rgsw_params, merged_a, merged_b, share_a, share_b):
     """One jitted program per chunk shape: the eager per-op dispatch of the
@@ -600,9 +615,11 @@ def key_share_merge(
     for s in shares[1:]:
         # chunk the n-axis: each LWE key bit's RGSW merges independently, and
         # a full-width internal product at production sizes (n=600, N=2^11,
-        # d=5, 55-bit q) materializes multi-GB u64 intermediates
+        # d=5, 55-bit q) materializes multi-GB u64 intermediates. Equalize
+        # the chunks so every slice shares ONE compiled shape (600 -> 10x60,
+        # not 9x64 + 24 with a second cold compile for the ragged tail).
         n_keys = merged.a.shape[0]
-        chunk = max(1, min(n_keys, 64))
+        chunk = merge_chunk_size(n_keys)
         outs = []
         for lo in range(0, n_keys, chunk):
             hi = lo + chunk

@@ -83,7 +83,7 @@ def likely_fused_lens(
     return sorted(lens)
 
 
-def prewarm_multikey_setup(params: BootstrapParams, n_lwe_chunk: int = 64):
+def prewarm_multikey_setup(params: BootstrapParams):
     """Fire background compiles of the multi-key SETUP programs (share
     encryption cores, the RGSW pk-encrypt core at the full brk shape, the
     merge chunk, eval residency) so they overlap the host-side sampling and
@@ -92,7 +92,7 @@ def prewarm_multikey_setup(params: BootstrapParams, n_lwe_chunk: int = 64):
     import jax.numpy as jnp
 
     from . import rgsw
-    from .bootstrapping import _merge_chunk
+    from .bootstrapping import _merge_chunk, merge_chunk_size
     from .rlwe import _pk_encrypt_core, _share_encrypt_core, _to_eval_mont
 
     rp = params.rlwe
@@ -102,7 +102,7 @@ def prewarm_multikey_setup(params: BootstrapParams, n_lwe_chunk: int = 64):
     d_r = rp.d
     u64_ = jnp.uint64
     i64_ = jnp.int64
-    chunk = min(n_lwe, n_lwe_chunk)
+    chunk = merge_chunk_size(n_lwe)
     big = (n_lwe, two_d, n_ring)
 
     thunks = [
