@@ -368,20 +368,29 @@ def _fs_inv(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
     return x.reshape(*a.shape[:-1], plan.n)
 
 
-# Widest fused pass. Measured on v5e at the TFHE reference pipeline:
-# radix-2 -> 246 PBS/s, radix-4 -> 287, radix-8 -> 282 (register pressure
-# eats the traffic win past two fused layers), so radix-4 is the default.
-_PASS_WIDTH = 2
+# Widest fused pass, ring-gated (measured on v5e under the §17 sync
+# harness, 2026-08-19, /tmp/r3logs): at N=2^14 radix-8 passes (5 memory
+# sweeps instead of 7) lift the polymul from 166.6k/s to 183.6k/s (+10%);
+# at the TFHE torus-CRT ring N=2^11 radix-8 reads 288 PBS/s vs the 275.6
+# radix-4 record. Below log_n=11 the traffic win shrinks (the array is
+# small enough that pass overheads, not bytes, dominate) and the old
+# radix-8 reading at the FHEW ring was neutral-to-worse, so radix-4 stays.
+# FHE_TPU_NTT32_PASS_WIDTH overrides the gate for on-chip A/Bs (read at
+# import; every schedule is bit-exact — pinned by tests/test_ntt32_radix8).
+_env_pw = os.environ.get("FHE_TPU_NTT32_PASS_WIDTH")
+_PASS_WIDTH: int | None = int(_env_pw) if _env_pw is not None else None
+assert _PASS_WIDTH in (None, 1, 2, 3)
 
 
 def _fwd_schedule(log_n: int) -> list[int]:
-    """Radix schedule (layer-counts per pass): greedy _PASS_WIDTH-wide
-    passes with the remainder covered by narrower ones."""
+    """Radix schedule (layer-counts per pass): greedy widest-pass-first
+    with the remainder covered by narrower ones."""
+    width = _PASS_WIDTH if _PASS_WIDTH is not None else (3 if log_n >= 11 else 2)
     sched = []
     rem = log_n
-    while rem >= _PASS_WIDTH:
-        sched.append(_PASS_WIDTH)
-        rem -= _PASS_WIDTH
+    while rem >= width:
+        sched.append(width)
+        rem -= width
     if rem:
         sched.append(rem)
     return sched

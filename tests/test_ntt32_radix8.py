@@ -1,0 +1,40 @@
+"""Pass-width schedules of the u32 stage NTT are interchangeable bit-exactly.
+
+The fused radix-2/4/8 passes (`ops/ntt32.py:_r{2,4,8}_{fwd,inv}`) are pure
+memory-traffic reshapings of the same butterfly/twiddle math (reference
+transform semantics: `util/src/ring/fft.rs:40-77`), so every schedule must
+produce element-identical transforms and polymuls. Pins the
+FHE_TPU_NTT32_PASS_WIDTH=3 (radix-8) A/B path against the radix-4 default.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from learn_fhe_tpu.ops import ntt32
+from learn_fhe_tpu.utils.primes import two_adic_primes
+
+
+@pytest.mark.parametrize("width", [1, 3])
+@pytest.mark.parametrize("log_n", [5, 9, 12])
+def test_pass_width_matches_default(monkeypatch, width, log_n):
+    n = 1 << log_n
+    q = next(two_adic_primes(30, log_n + 1))
+    plan = ntt32.ntt32_plan(q, n)
+    rng = np.random.default_rng(width * 100 + log_n)
+    a = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    b = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+
+    want_f = np.asarray(jax.jit(lambda v: ntt32.ntt32(v, plan))(a))
+    want_m = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
+
+    monkeypatch.setattr(ntt32, "_PASS_WIDTH", width)
+    # fresh jit wrappers: the schedule is baked at trace time, not in the
+    # plan hash, so reuse of a cached trace would mask the switch
+    got_f = np.asarray(jax.jit(lambda v: ntt32.ntt32(v, plan))(a))
+    got_m = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
+    rt = np.asarray(jax.jit(lambda v: ntt32.intt32(ntt32.ntt32(v, plan), plan))(a))
+
+    np.testing.assert_array_equal(got_f, want_f)
+    np.testing.assert_array_equal(got_m, want_m)
+    np.testing.assert_array_equal(rt, a)
