@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import time
 
 import numpy as np
@@ -353,6 +354,12 @@ def bench_ntt(args):
         fetch_sync(out[0])
         dt = time.time() - t0
         pps = B * K * reps / dt
+        if name == "u32" and getattr(args, "fourstep", False):
+            # The four-step MXU path doesn't move the stage-schedule's bytes,
+            # so the stage-plan roofline doesn't apply; report no fraction
+            # rather than a misleading one (ADVICE r03).
+            results[name] = (pps, float("nan"))
+            continue
         frac = pps / roofline(np.dtype(dtype).itemsize, passes_by[name])
         if frac > 1.0:
             import sys
@@ -382,8 +389,14 @@ def bench_ntt(args):
         f"# ntt N=2^14 batch={B} chain={K} reps={reps}: u64 {pps64:.0f}/s "
         f"({100*frac64:.0f}% of HBM roofline {roofline(8, passes_by['u64']):.0f}/s, "
         f"{passes_by['u64']} passes), "
-        f"u32 {pps32:.0f}/s ({100*frac32:.0f}% of roofline "
-        f"{roofline(4, passes_by['u32']):.0f}/s, {passes_by['u32']} passes), "
+        f"u32 {pps32:.0f}/s ("
+        + (
+            "four-step MXU path: stage-plan roofline inapplicable"
+            if math.isnan(frac32)
+            else f"{100*frac32:.0f}% of roofline "
+            f"{roofline(4, passes_by['u32']):.0f}/s, {passes_by['u32']} passes"
+        )
+        + "), "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -379,7 +379,13 @@ def _fs_inv(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
 # import; every schedule is bit-exact — pinned by tests/test_ntt32_radix8).
 _env_pw = os.environ.get("FHE_TPU_NTT32_PASS_WIDTH")
 _PASS_WIDTH: int | None = int(_env_pw) if _env_pw is not None else None
-assert _PASS_WIDTH in (None, 1, 2, 3)
+if _PASS_WIDTH not in (None, 1, 2, 3):
+    # A bare assert is stripped under `python -O`, and an invalid width
+    # would fall through the width dispatch into the radix-2 branch while
+    # `layer += width` skips layers — silently wrong transforms.
+    raise ValueError(
+        f"FHE_TPU_NTT32_PASS_WIDTH must be 1, 2 or 3 (got {_env_pw!r})"
+    )
 
 
 def _fwd_schedule(log_n: int) -> list[int]:

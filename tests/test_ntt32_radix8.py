@@ -25,6 +25,12 @@ def test_pass_width_matches_default(monkeypatch, width, log_n):
     a = rng.integers(0, q, size=(3, n), dtype=np.uint32)
     b = rng.integers(0, q, size=(3, n), dtype=np.uint32)
 
+    # Compute `want` under an explicit radix-4 pin rather than the ambient
+    # default: at log_n >= 11 the default schedule is already radix-8, which
+    # would make the width=3 parametrization vacuous (identical schedules on
+    # both sides), and an FHE_TPU_NTT32_PASS_WIDTH in the environment would
+    # skew it either way.
+    monkeypatch.setattr(ntt32, "_PASS_WIDTH", 2)
     want_f = np.asarray(jax.jit(lambda v: ntt32.ntt32(v, plan))(a))
     want_m = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
 
