@@ -314,11 +314,15 @@ def bench_ntt(args):
     reps = max(args.iters, 8)  # keep the timed region well above sync overhead
     hbm_bw = 819e9  # v5e HBM GB/s (public spec)
 
-    def roofline(itemsize, passes):
-        # each fused pass reads+writes the whole array; 3 transforms +
-        # pointwise + the chain's mixing add per polymul
-        bytes_per_poly = itemsize * n * (3 * 2 * passes + 3 + 3)
-        return hbm_bw / bytes_per_poly
+    def roofline(itemsize, passes, fused):
+        # each fused pass reads+writes the whole array. Unfused: 3 transforms
+        # + pointwise + the chain's mixing add = 6*passes + 6 touches. With
+        # the pointwise product fused into the last-forward/first-inverse
+        # pass (u32 default), the NTT-domain operands and product never
+        # round-trip: 4(p-1) pre-fwd + 3 fused middle + 2(p-1) post-inv
+        # + 3 mix = 6*passes touches.
+        touches = 6 * passes if fused else 6 * passes + 6
+        return hbm_bw / (itemsize * n * touches)
 
     # passes follow each engine's ACTIVE schedule (u64 is fixed radix-4;
     # u32 honors FHE_TPU_NTT32_PASS_WIDTH), so the printed %-of-roofline is
@@ -360,7 +364,7 @@ def bench_ntt(args):
             # rather than a misleading one (ADVICE r03).
             results[name] = (pps, float("nan"))
             continue
-        frac = pps / roofline(np.dtype(dtype).itemsize, passes_by[name])
+        frac = pps / roofline(np.dtype(dtype).itemsize, passes_by[name], name == "u32")
         if frac > 1.0:
             import sys
 
@@ -387,14 +391,14 @@ def bench_ntt(args):
 
     print(
         f"# ntt N=2^14 batch={B} chain={K} reps={reps}: u64 {pps64:.0f}/s "
-        f"({100*frac64:.0f}% of HBM roofline {roofline(8, passes_by['u64']):.0f}/s, "
+        f"({100*frac64:.0f}% of HBM roofline {roofline(8, passes_by['u64'], False):.0f}/s, "
         f"{passes_by['u64']} passes), "
         f"u32 {pps32:.0f}/s ("
         + (
             "four-step MXU path: stage-plan roofline inapplicable"
             if math.isnan(frac32)
             else f"{100*frac32:.0f}% of roofline "
-            f"{roofline(4, passes_by['u32']):.0f}/s, {passes_by['u32']} passes"
+            f"{roofline(4, passes_by['u32'], True):.0f}/s, {passes_by['u32']} fused-pw passes"
         )
         + "), "
         f"device={jax.devices()[0].platform}",

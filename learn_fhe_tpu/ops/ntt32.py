@@ -287,6 +287,63 @@ def _r8_fwd(out, batch, n, q, plan, layer):
     return jnp.stack(outs, axis=-2).reshape(*batch, n)
 
 
+def _rk_fwd(out, batch, n, q, plan, layer, width):
+    """Generic fused DIT pass: `width` butterfly layers in ONE memory sweep
+    over 2^width interleaved slices (the pipeline is HBM-bound, ARCHITECTURE
+    §5/§6 — pass count, not multiply count, prices the transform). width=3
+    reproduces the hand-written radix-8 pass element-for-element; widths 4/5
+    extend the same recursion (w*2^(w-1) muls per 2^w outputs = the radix-2
+    multiply count at 1/w the traffic)."""
+    m = 1 << layer
+    R = 1 << width
+    rest = n >> (layer + width)
+    x = out.reshape(*batch, m, R, rest)
+    xs = [x[..., i, :] for i in range(R)]
+    for t in range(width):
+        w = plan.psi_br[(m << t) : (m << (t + 1))].reshape(m, 1 << t)
+        ws = plan.psi_br_shoup[(m << t) : (m << (t + 1))].reshape(m, 1 << t)
+        blk = R >> t
+        half = blk >> 1
+        new = [None] * R
+        for g in range(1 << t):
+            base = g * blk
+            wg = w[:, g : g + 1]
+            wgs = ws[:, g : g + 1]
+            for i in range(half):
+                u, v = xs[base + i], xs[base + half + i]
+                tv = mul_shoup32(v, wg, wgs, q)
+                new[base + i] = add_mod32(u, tv, q)
+                new[base + half + i] = sub_mod32(u, tv, q)
+        xs = new
+    return jnp.stack(xs, axis=-2).reshape(*batch, n)
+
+
+def _rk_inv(out, batch, n, q, plan, layer, width):
+    """Generic fused GS (inverse) pass: exact mirror of `_rk_fwd` (layers
+    processed top-down), element-identical to the hand radix-4/8 passes."""
+    m = 1 << layer
+    R = 1 << width
+    rest = n >> (layer + width)
+    x = out.reshape(*batch, m, R, rest)
+    xs = [x[..., i, :] for i in range(R)]
+    for t in reversed(range(width)):
+        wi = plan.psi_inv_br[(m << t) : (m << (t + 1))].reshape(m, 1 << t)
+        wis = plan.psi_inv_br_shoup[(m << t) : (m << (t + 1))].reshape(m, 1 << t)
+        blk = R >> t
+        half = blk >> 1
+        new = [None] * R
+        for g in range(1 << t):
+            base = g * blk
+            wg = wi[:, g : g + 1]
+            wgs = wis[:, g : g + 1]
+            for i in range(half):
+                u, v = xs[base + i], xs[base + half + i]
+                new[base + i] = add_mod32(u, v, q)
+                new[base + half + i] = mul_shoup32(sub_mod32(u, v, q), wg, wgs, q)
+        xs = new
+    return jnp.stack(xs, axis=-2).reshape(*batch, n)
+
+
 def _fs_limbs_dev(x: jnp.ndarray, q: int) -> list:
     """u32 in [0, q) -> centered -> 4 balanced base-256 int8 limb planes."""
     t = x.astype(jnp.int32)
@@ -379,12 +436,12 @@ def _fs_inv(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
 # import; every schedule is bit-exact — pinned by tests/test_ntt32_radix8).
 _env_pw = os.environ.get("FHE_TPU_NTT32_PASS_WIDTH")
 _PASS_WIDTH: int | None = int(_env_pw) if _env_pw is not None else None
-if _PASS_WIDTH not in (None, 1, 2, 3):
+if _PASS_WIDTH not in (None, 1, 2, 3, 4, 5):
     # A bare assert is stripped under `python -O`, and an invalid width
     # would fall through the width dispatch into the radix-2 branch while
     # `layer += width` skips layers — silently wrong transforms.
     raise ValueError(
-        f"FHE_TPU_NTT32_PASS_WIDTH must be 1, 2 or 3 (got {_env_pw!r})"
+        f"FHE_TPU_NTT32_PASS_WIDTH must be in 1..5 (got {_env_pw!r})"
     )
 
 
@@ -413,15 +470,8 @@ def ntt32(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
         return _fs_fwd(u32(a), plan)
     batch = a.shape[:-1]
     out = u32(a)
-    layer = 0
-    for width in _fwd_schedule(plan.log_n):
-        if width == 3:
-            out = _r8_fwd(out, batch, n, q, plan, layer)
-        elif width == 2:
-            out = _r4_fwd(out, batch, n, q, plan, layer)
-        else:
-            out = _r2_fwd(out, batch, n, q, plan, layer)
-        layer += width
+    for base, width in _schedule_offsets(plan.log_n):
+        out = _FWD_PASS[width](out, batch, n, q, plan, base)
     return out
 
 
@@ -512,19 +562,8 @@ def intt32(a: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
     batch = a.shape[:-1]
     out = u32(a)
     # reverse of the forward schedule: same groups, processed top-down
-    sched = _fwd_schedule(plan.log_n)
-    offsets = []
-    layer = 0
-    for width in sched:
-        offsets.append((layer, width))
-        layer += width
-    for base, width in reversed(offsets):
-        if width == 3:
-            out = _r8_inv(out, batch, n, q, plan, base)
-        elif width == 2:
-            out = _r4_inv(out, batch, n, q, plan, base)
-        else:
-            out = _r2_inv(out, batch, n, q, plan, base)
+    for base, width in reversed(_schedule_offsets(plan.log_n)):
+        out = _INV_PASS[width](out, batch, n, q, plan, base)
     return mul_shoup32(
         out, np.uint32(plan.n_inv), np.uint32(plan.n_inv_shoup), q
     )
@@ -535,6 +574,59 @@ def pointwise_mul32(a: jnp.ndarray, b: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndar
     return mul_mod32(a, b, plan.zq)
 
 
+_FWD_PASS = {
+    1: _r2_fwd,
+    2: _r4_fwd,
+    3: _r8_fwd,
+    4: lambda *a: _rk_fwd(*a, 4),
+    5: lambda *a: _rk_fwd(*a, 5),
+}
+_INV_PASS = {
+    1: _r2_inv,
+    2: _r4_inv,
+    3: _r8_inv,
+    4: lambda *a: _rk_inv(*a, 4),
+    5: lambda *a: _rk_inv(*a, 5),
+}
+
+
+def _schedule_offsets(log_n: int) -> list[tuple[int, int]]:
+    offsets, layer = [], 0
+    for width in _fwd_schedule(log_n):
+        offsets.append((layer, width))
+        layer += width
+    return offsets
+
+
 def negacyclic_mul32(a: jnp.ndarray, b: jnp.ndarray, plan: Ntt32Plan) -> jnp.ndarray:
-    """Full coefficient-basis negacyclic product: NTT -> pointwise -> INTT."""
-    return intt32(pointwise_mul32(ntt32(a, plan), ntt32(b, plan), plan), plan)
+    """Full coefficient-basis negacyclic product: NTT -> pointwise -> INTT,
+    with the pointwise product FUSED into the last forward / first inverse
+    pass (one jit region, so XLA emits them as a single HBM sweep: the
+    NTT-domain operands and the pointwise result never round-trip to HBM).
+    The last forward pass and the first inverse pass share geometry (the
+    inverse replays the forward schedule reversed), so the fusion is a pure
+    traffic reshaping — 30 n-sized touches instead of 36 at N=2^14 — and the
+    result is element-identical to the unfused composition (pinned by
+    tests/test_golden.py and the schedule A/B tests).
+
+    Reference cost anchor: `util/src/ring/fft/zq.rs:14-19` runs the three
+    transforms and the pointwise product as four separate array sweeps.
+    """
+    n, q = plan.n, plan.q
+    if n == 1 or plan.fourstep is not None:
+        return intt32(pointwise_mul32(ntt32(a, plan), ntt32(b, plan), plan), plan)
+    batch = a.shape[:-1]
+    offsets = _schedule_offsets(plan.log_n)
+    ea, eb = u32(a), u32(b)
+    for base, width in offsets[:-1]:
+        ea = _FWD_PASS[width](ea, batch, n, q, plan, base)
+        eb = _FWD_PASS[width](eb, batch, n, q, plan, base)
+    # fused middle: finish both forwards, multiply, start the inverse
+    base, width = offsets[-1]
+    ea = _FWD_PASS[width](ea, batch, n, q, plan, base)
+    eb = _FWD_PASS[width](eb, batch, n, q, plan, base)
+    out = pointwise_mul32(ea, eb, plan)
+    out = _INV_PASS[width](out, batch, n, q, plan, base)
+    for base, width in reversed(offsets[:-1]):
+        out = _INV_PASS[width](out, batch, n, q, plan, base)
+    return mul_shoup32(out, np.uint32(plan.n_inv), np.uint32(plan.n_inv_shoup), q)

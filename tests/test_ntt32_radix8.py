@@ -15,7 +15,7 @@ from learn_fhe_tpu.ops import ntt32
 from learn_fhe_tpu.utils.primes import two_adic_primes
 
 
-@pytest.mark.parametrize("width", [1, 3])
+@pytest.mark.parametrize("width", [1, 3, 4, 5])
 @pytest.mark.parametrize("log_n", [5, 9, 12])
 def test_pass_width_matches_default(monkeypatch, width, log_n):
     n = 1 << log_n
@@ -44,3 +44,26 @@ def test_pass_width_matches_default(monkeypatch, width, log_n):
     np.testing.assert_array_equal(got_f, want_f)
     np.testing.assert_array_equal(got_m, want_m)
     np.testing.assert_array_equal(rt, a)
+
+
+@pytest.mark.parametrize("log_n", [1, 5, 12])
+def test_fused_polymul_matches_unfused(log_n):
+    """`negacyclic_mul32` fuses the pointwise product into the last forward /
+    first inverse pass; the fusion is a pure traffic reshaping and must be
+    element-identical to the explicit NTT -> pointwise -> INTT composition."""
+    n = 1 << log_n
+    q = next(two_adic_primes(30, log_n + 1))
+    plan = ntt32.ntt32_plan(q, n)
+    rng = np.random.default_rng(log_n)
+    a = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    b = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    want = np.asarray(
+        jax.jit(
+            lambda x, y: ntt32.intt32(
+                ntt32.pointwise_mul32(ntt32.ntt32(x, plan), ntt32.ntt32(y, plan), plan),
+                plan,
+            )
+        )(a, b)
+    )
+    got = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
+    np.testing.assert_array_equal(got, want)
