@@ -26,6 +26,34 @@ PER_CHIP_BASELINE = 125.0  # 1000 PBS/sec / 8 chips (BASELINE.json north star)
 
 _SYNC_PROBES: dict = {}
 
+# Compile observability: BENCH_r03 showed a 12x compile-time swing caused by
+# external-cache eviction, indistinguishable in the artifact from a real
+# compile regression. Every metric's JSON line now carries a `compiles`
+# breakdown (program count + per-program seconds) so cold-cache runs are
+# machine-identifiable: many ~10s programs = cold helper cache, one huge
+# outlier = new compile regression, near-zero = warm.
+_COMPILES = {"count": 0, "total_s": 0.0, "per_program_s": []}
+
+
+def _track_compiles():
+    from jax import monitoring
+
+    def _listener(name, dur, **kw):
+        if name == "/jax/core/compile/backend_compile_duration":
+            _COMPILES["count"] += 1
+            _COMPILES["total_s"] += dur
+            _COMPILES["per_program_s"].append(round(dur, 2))
+
+    monitoring.register_event_duration_secs_listener(_listener)
+
+
+def _compile_info():
+    return {
+        "count": _COMPILES["count"],
+        "total_s": round(_COMPILES["total_s"], 1),
+        "per_program_s": _COMPILES["per_program_s"][:64],
+    }
+
 
 def fetch_sync(x):
     """Completion barrier that cannot lie: fetch a tiny jitted checksum of x.
@@ -90,6 +118,7 @@ def main():
         "on a pod slice)",
     )
     args = ap.parse_args()
+    _track_compiles()
 
     if args.smoke:
         import jax
@@ -202,6 +231,7 @@ def main():
                 "value": round(pbs_per_sec, 3),
                 "unit": "bootstraps/s",
                 "vs_baseline": round(pbs_per_sec / PER_CHIP_BASELINE, 4),
+                "compiles": _compile_info(),
             }
         )
     )
@@ -276,6 +306,7 @@ def bench_fhew(args):
                 "value": round(gps, 3),
                 "unit": "gates/s",
                 "vs_baseline": round(gps / PER_CHIP_BASELINE, 4),
+                "compiles": _compile_info(),
             }
         )
     )
@@ -384,6 +415,7 @@ def bench_ntt(args):
                 "value": round(pps64, 1),
                 "unit": "polymuls/s",
                 "vs_baseline": round(frac64, 4),  # 1.0 == HBM roofline
+                "compiles": _compile_info(),
             }
         )
     )
@@ -487,6 +519,7 @@ def bench_scaling(args):
         "value": round(eff8, 4),
         "unit": "throughput(D)/(D*throughput(1))",
         "vs_baseline": round(eff8, 4),
+        "compiles": _compile_info(),
     }
     print(json.dumps(row))
     import pathlib
@@ -568,6 +601,7 @@ def bench_ckks(args):
                 "value": round(mps, 3),
                 "unit": "muls/s",
                 "vs_baseline": round(mps / PER_CHIP_BASELINE, 4),
+                "compiles": _compile_info(),
             }
         )
     )
@@ -670,6 +704,7 @@ def bench_ckks_bootstrap(args):
                 "unit": f"s/bootstrap (N=2^{log_n}, batch {batch}, "
                 f"{len(out.qs)} levels left, {rel_bits:.1f} rel bits)",
                 "vs_baseline": 0.0,
+                "compiles": _compile_info(),
             }
         )
     )
