@@ -345,13 +345,17 @@ def bench_ntt(args):
     reps = max(args.iters, 8)  # keep the timed region well above sync overhead
     hbm_bw = 819e9  # v5e HBM GB/s (public spec)
 
+    import os as _os
+
+    u32_fused = _os.environ.get("FHE_TPU_NTT32_FUSE", "0") == "1"
+
     def roofline(itemsize, passes, fused):
         # each fused pass reads+writes the whole array. Unfused: 3 transforms
         # + pointwise + the chain's mixing add = 6*passes + 6 touches. With
         # the pointwise product fused into the last-forward/first-inverse
-        # pass (u32 default), the NTT-domain operands and product never
-        # round-trip: 4(p-1) pre-fwd + 3 fused middle + 2(p-1) post-inv
-        # + 3 mix = 6*passes touches.
+        # pass (FHE_TPU_NTT32_FUSE=1; measured slower, see ntt32.py), the
+        # NTT-domain operands and product never round-trip: 4(p-1) pre-fwd
+        # + 3 fused middle + 2(p-1) post-inv + 3 mix = 6*passes touches.
         touches = 6 * passes if fused else 6 * passes + 6
         return hbm_bw / (itemsize * n * touches)
 
@@ -395,7 +399,7 @@ def bench_ntt(args):
             # rather than a misleading one (ADVICE r03).
             results[name] = (pps, float("nan"))
             continue
-        frac = pps / roofline(np.dtype(dtype).itemsize, passes_by[name], name == "u32")
+        frac = pps / roofline(np.dtype(dtype).itemsize, passes_by[name], name == "u32" and u32_fused)
         if frac > 1.0:
             import sys
 
@@ -430,7 +434,8 @@ def bench_ntt(args):
             "four-step MXU path: stage-plan roofline inapplicable"
             if math.isnan(frac32)
             else f"{100*frac32:.0f}% of roofline "
-            f"{roofline(4, passes_by['u32'], True):.0f}/s, {passes_by['u32']} fused-pw passes"
+            f"{roofline(4, passes_by['u32'], u32_fused):.0f}/s, {passes_by['u32']}"
+            f"{' fused-pw' if u32_fused else ''} passes"
         )
         + "), "
         f"device={jax.devices()[0].platform}",

@@ -590,6 +590,15 @@ _INV_PASS = {
 }
 
 
+# A/B toggle for the fused-pointwise polymul. Default OFF: on-chip A/B
+# (2026-08-19, §17 sync harness, N=2^14 batch=256 chain=10) measured the
+# manually-fused schedule at 162-177k polymuls/s vs 183.5k unfused — XLA
+# already fuses the chained composition inside one jit region, and the
+# manual interleaving only enlarges the live working set. Kept for probing
+# (FHE_TPU_NTT32_FUSE=1); bit-exactness pinned by tests/test_ntt32_radix8.
+_FUSE_PW = os.environ.get("FHE_TPU_NTT32_FUSE", "0") == "1"
+
+
 def _schedule_offsets(log_n: int) -> list[tuple[int, int]]:
     offsets, layer = [], 0
     for width in _fwd_schedule(log_n):
@@ -613,7 +622,7 @@ def negacyclic_mul32(a: jnp.ndarray, b: jnp.ndarray, plan: Ntt32Plan) -> jnp.nda
     transforms and the pointwise product as four separate array sweeps.
     """
     n, q = plan.n, plan.q
-    if n == 1 or plan.fourstep is not None:
+    if n == 1 or plan.fourstep is not None or _FUSE_PW is False:
         return intt32(pointwise_mul32(ntt32(a, plan), ntt32(b, plan), plan), plan)
     batch = a.shape[:-1]
     offsets = _schedule_offsets(plan.log_n)
