@@ -48,28 +48,99 @@ from .sfft import sfft, sifft
 
 @dataclass(frozen=True)
 class CkksParams:
-    """L q-primes + L auxiliary p-primes from one descending stream; the
-    scale is the last q prime (`ckks.rs:20-35`)."""
+    """L q-primes + auxiliary p-primes; the scale is the last q prime
+    (`ckks.rs:20-35`).
+
+    Defaults reproduce the reference exactly: uniform log_qi-bit primes and
+    |P| = |Q| single-digit key switching. The three optional fields below are
+    the production extension (no reference counterpart — `ckks.rs` stops at
+    the pedagogical fixture):
+
+    - log_qis: per-prime bit-width ladder, bottom (q0) to top. Lets the
+      bootstrap place 60-bit primes at the EvalMod levels and cheaper
+      ~45-bit primes at the transform/user levels, which is what makes a
+      128-bit-secure bootstrap budget fit (ARCHITECTURE §18).
+    - log_ps: explicit auxiliary primes (usually just a few large ones).
+    - dnum: hybrid key-switch digit count (Han-Ki, eprint 2019/688). The Q
+      basis splits into dnum groups of alpha primes; the ksk carries one
+      ciphertext per digit and P only needs ~alpha primes instead of |Q|,
+      cutting log(QP) nearly in half at equal security.
+    """
 
     log_n: int
     log_qi: int
     big_l: int
+    log_qis: tuple | None = None  # per-prime ladder, bottom -> top
+    log_ps: tuple | None = None  # aux primes; default big_l copies of log_qi
+    dnum: int | None = None  # key-switch digits; None = 1 (reference)
 
     def __post_init__(self):
         assert self.log_n >= 1 and self.big_l > 1
+        if self.log_qis is not None:
+            assert len(self.log_qis) == self.big_l
+
+    @cached_property
+    def _prime_streams(self) -> dict:
+        """One descending prime stream per distinct bit width, shared by qs
+        then ps so equal-width primes never collide."""
+        sizes = set(self.log_qis or ()) | set(self.log_ps or ())
+        sizes |= {self.log_qi}
+        return {s: two_adic_primes(s, self.log_n + 1) for s in sizes}
 
     @cached_property
     def qs(self) -> tuple[int, ...]:
-        return tuple(islice(two_adic_primes(self.log_qi, self.log_n + 1), self.big_l))
+        if self.log_qis is None:
+            return tuple(
+                islice(two_adic_primes(self.log_qi, self.log_n + 1), self.big_l)
+            )
+        return tuple(next(self._prime_streams[s]) for s in self.log_qis)
 
     @cached_property
     def ps(self) -> tuple[int, ...]:
-        it = two_adic_primes(self.log_qi, self.log_n + 1)
-        return tuple(islice(it, self.big_l, 2 * self.big_l))
+        if self.log_qis is None and self.log_ps is None:
+            it = two_adic_primes(self.log_qi, self.log_n + 1)
+            return tuple(islice(it, self.big_l, 2 * self.big_l))
+        self.qs  # force qs to consume its share of the shared streams first
+        log_ps = self.log_ps or (self.log_qi,) * self.big_l
+        return tuple(next(self._prime_streams[s]) for s in log_ps)
 
     @property
     def qps(self) -> tuple[int, ...]:
         return self.qs + self.ps
+
+    # -- hybrid key-switch digit machinery (dnum > 1) --------------------------
+
+    @property
+    def num_digits(self) -> int:
+        return self.dnum or 1
+
+    @property
+    def alpha(self) -> int:
+        """Primes per key-switch digit."""
+        return -(-self.big_l // self.num_digits)
+
+    def digit_slices(self, level_l: int) -> tuple:
+        """(start, stop) limb ranges of each ACTIVE digit at a level with
+        level_l live primes (the full-basis groups cut at the level)."""
+        a = self.alpha
+        return tuple(
+            (s, min(s + a, level_l)) for s in range(0, level_l, a)
+        )
+
+    def digit_factor(self, d: int) -> int:
+        """P * B_d as an exact integer, where B_d = (Q/Q_d) * [(Q/Q_d)^-1
+        mod Q_d] is the CRT basis element of digit d over the FULL q basis
+        (B_d = 1 mod every prime of group d, 0 mod every other q prime —
+        which is why the same ksk serves every level)."""
+        s, e = self.digit_slices(self.big_l)[d]
+        big_q = 1
+        for q in self.qs:
+            big_q *= q
+        q_d = 1
+        for q in self.qs[s:e]:
+            q_d *= q
+        q_hat = big_q // q_d
+        return self.big_p * q_hat * pow(q_hat % q_d, -1, q_d)
 
     @property
     def n(self) -> int:
@@ -214,25 +285,44 @@ def _automorphism_i64(sk: np.ndarray, t: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnums=(0,))
 def _ksk_pt(params: CkksParams, sk_prime_i64: jnp.ndarray) -> jnp.ndarray:
+    """Per-digit ksk plaintexts: (..., D, 2L, N) holding P * B_d * sk' over
+    the qps basis (D = 1, B_0 = 1 reproduces the reference's P * sk',
+    `ckks.rs:154-162`)."""
     qps = params.qps
     plan = params.plan(qps)
-    pt = rns_from_i64(sk_prime_i64, plan)  # (2L, N)
-    p_mod = np.array([params.big_p % q for q in qps], dtype=np.uint64)[:, None]
+    pt = rns_from_i64(sk_prime_i64, plan)  # (..., 2L, N)
     from ...ops.modular import shoup_precompute
 
-    p_shoup = np.stack(
-        [shoup_precompute(params.big_p % q, q) for q in qps]
-    ).reshape(-1, 1)
-    return mul_shoup_v(pt, p_mod, p_shoup, plan.q_arr)
+    D = params.num_digits
+    f = np.array(
+        [[params.digit_factor(d) % q for q in qps] for d in range(D)],
+        dtype=np.uint64,
+    )
+    fs = np.array(
+        [
+            [shoup_precompute(int(f[d, i]), q) for i, q in enumerate(qps)]
+            for d in range(D)
+        ],
+        dtype=np.uint64,
+    )
+    return mul_shoup_v(
+        pt[..., None, :, :], f[..., None], fs[..., None], plan.q_arr
+    )
 
 
 def ksk_gen(
     params: CkksParams, sk: np.ndarray, sk_prime: np.ndarray, rng: np.random.Generator
 ) -> CkksKeySwitchingKey:
-    """ksk = enc_{QP}(P * sk') (`ckks.rs:154-162`), moved into eval residency."""
-    pt = _ksk_pt(params, jnp.asarray(np.asarray(sk_prime, dtype=np.int64)))
-    ct = sk_encrypt(params, sk, pt, params.qps, rng)
-    b_eval, a_eval = _ksk_to_eval(params, ct.b, ct.a)
+    """ksk = enc_{QP}(P * B_d * sk') per digit d (`ckks.rs:154-162`; digits
+    per Han-Ki eprint 2019/688 when params.dnum), in eval residency. Single
+    digit keeps the reference's 2-D (2L, N) layout; dnum > 1 stacks a
+    leading digit axis."""
+    pts = _ksk_pt(params, jnp.asarray(np.asarray(sk_prime, dtype=np.int64)))
+    D = params.num_digits
+    cts = [sk_encrypt(params, sk, pts[d], params.qps, rng) for d in range(D)]
+    b = cts[0].b if D == 1 else jnp.stack([ct.b for ct in cts])
+    a = cts[0].a if D == 1 else jnp.stack([ct.a for ct in cts])
+    b_eval, a_eval = _ksk_to_eval(params, b, a)
     return CkksKeySwitchingKey(b_eval, a_eval, params.qps)
 
 
@@ -260,9 +350,10 @@ def rtk_gen(params: CkksParams, sk: np.ndarray, j: int, rng) -> CkksRotKey:
 @partial(jax.jit, static_argnums=(0,))
 def _ksk_gen_core(params: CkksParams, sk_primes_i64, a, e_i64, sk_i64):
     """Batched ksk generation: K keys in one program. sk_primes (K, N) i64,
-    a (K, 2L, N) uniform masks, e (K, N) noise -> eval-resident (b, a)."""
+    a (K, D, 2L, N) uniform masks, e (K, D, N) noise -> eval-resident
+    (b, a) of shape (K, D, 2L, N)."""
     plan = params.plan(params.qps)
-    pts = _ksk_pt(params, sk_primes_i64)  # (K, 2L, N) via leading-axis bcast
+    pts = _ksk_pt(params, sk_primes_i64)  # (K, D, 2L, N) via leading bcast
     e = rns_from_i64(e_i64, plan)
     sk_rns = rns_from_i64(sk_i64, plan)
     b = rns_add(rns_add(rns_neg(rns_mul(a, sk_rns, plan), plan), e, plan), pts, plan)
@@ -276,11 +367,22 @@ def ksk_gen_many(
     device round trips per key dominate bootstrap keygen through the remote
     compile tunnel; measured ~500 s for 16 rotation keys at N=2^10 L=8+8)."""
     K = len(sk_primes)
+    D = params.num_digits
     qps = params.qps
     a = np.stack(
-        [np.stack([uniform_zq(q, rng, params.n) for q in qps]) for _ in range(K)]
+        [
+            np.stack(
+                [
+                    np.stack([uniform_zq(q, rng, params.n) for q in qps])
+                    for _ in range(D)
+                ]
+            )
+            for _ in range(K)
+        ]
     )
-    e = np.stack([dg(3.2, 6, rng, params.n) for _ in range(K)])
+    e = np.stack(
+        [np.stack([dg(3.2, 6, rng, params.n) for _ in range(D)]) for _ in range(K)]
+    )
     b_eval, a_eval = _ksk_gen_core(
         params,
         jnp.asarray(np.asarray(sk_primes, dtype=np.int64)),
@@ -288,6 +390,8 @@ def ksk_gen_many(
         jnp.asarray(e),
         jnp.asarray(np.asarray(sk, dtype=np.int64)),
     )
+    if D == 1:
+        return [CkksKeySwitchingKey(b_eval[k, 0], a_eval[k, 0], qps) for k in range(K)]
     return [CkksKeySwitchingKey(b_eval[k], a_eval[k], qps) for k in range(K)]
 
 
@@ -329,34 +433,52 @@ def encode(
     qs: tuple | None = None,
     precision: str = "dd",
     scale_int: int | None = None,
+    rounding: str = "nearest",
 ) -> jnp.ndarray:
     """m: (l,) complex (np.complex128, DDC, or FPC) -> RNS plaintext (L, N).
 
     scale_int overrides the encoding scale (default params.scale); EvalMod
     encodes constants at the exact integer scale that keeps a ciphertext's
-    true scale aligned through rescales (evalmod.py)."""
+    true scale aligned through rescales (evalmod.py).
+
+    rounding="trunc" reproduces the reference's integer conversion exactly:
+    `BigInt::from(&F256)` shifts the 256-bit mantissa with no rounding step
+    (`util/src/complex/f256.rs:213-238`, RoundingMode::None throughout), so
+    the reference TRUNCATES toward zero where this library's default rounds
+    to nearest (better numerics; ~0.5 ulp noise either way). The transcript
+    parity test pins the trunc mode against the reference dump."""
     qs = params.qs if qs is None else qs
     z = _lift(m, precision)
     assert len(z) == params.l
     z = sifft(z).mul_int(params.scale if scale_int is None else scale_int)
-    re, im = z.round_to_ints()
+    if rounding == "trunc":
+        re, im = z.trunc_to_ints()
+    else:
+        re, im = z.round_to_ints()
     return jnp.asarray(bigints_to_rns(re + im, qs))
 
 
 def decode(
-    params: CkksParams, pt: jnp.ndarray, qs: tuple, precision: str = "dd"
+    params: CkksParams,
+    pt: jnp.ndarray,
+    qs: tuple,
+    precision: str = "dd",
+    scale_int: int | None = None,
 ):
     """RNS plaintext -> (l,) complex128 slots (or an FPC when
-    precision="f256", so callers can measure beyond f64's 53 bits)."""
+    precision="f256", so callers can measure beyond f64's 53 bits).
+    scale_int overrides the decoding scale (default params.scale) for
+    ciphertexts living on a ladder band (production.py)."""
     vals = rns_to_bigints(np.asarray(pt), qs)
     l = params.l
+    s = params.scale if scale_int is None else scale_int
     if precision == "f256":
         from ...utils.f256 import FPC
 
         z = FPC.from_ints(vals[:l], vals[l:])
-        return sfft(z.div_int(params.scale))
+        return sfft(z.div_int(s))
     z = DDC.from_ints(vals[:l], vals[l:])
-    return sfft(z.div_int(params.scale)).to_complex128()
+    return sfft(z.div_int(s)).to_complex128()
 
 
 # -- encrypt / decrypt ---------------------------------------------------------
@@ -533,8 +655,7 @@ def hoisted_rotations(
     qps = qs + ps
     plan = params.plan(qps)
     plan_q = params.plan(qs)
-    a_ext = jnp.concatenate([ct.a, extend_bases(ct.a, qs, ps)], axis=-2)
-    ae = rns_ntt(a_ext, plan)
+    ae = _ks_hoist(params, ct.a, qs)  # (D, Lqp, N)
     idx = [params.qps.index(q) for q in qps]
     n = ct.a.shape[-1]
     outs = []
@@ -543,38 +664,78 @@ def hoisted_rotations(
         t = params.pow5(j)
         perm = jnp.asarray(eval_automorphism_perm(n, t))
         ae_rot = ae[..., perm]
-        ksk_b = rtk.ksk.b[idx, :]
-        ksk_a = rtk.ksk.a[idx, :]
+        ksk_b = _ksk_digits(params, rtk.ksk.b, len(qs), idx)
+        ksk_a = _ksk_digits(params, rtk.ksk.a, len(qs), idx)
         b = rescale_k(
-            rns_intt(rns_mul_eval(ksk_b, ae_rot, plan), plan), qps, len(ps)
+            rns_intt(_ks_dot(ksk_b, ae_rot, plan), plan), qps, len(ps)
         )
         a = rescale_k(
-            rns_intt(rns_mul_eval(ksk_a, ae_rot, plan), plan), qps, len(ps)
+            rns_intt(_ks_dot(ksk_a, ae_rot, plan), plan), qps, len(ps)
         )
         b = rns_add(b, _automorphism_rns(ct.b, t, qs), plan_q)
         outs.append(CkksCiphertext(b, a, qs))
     return tuple(outs)
 
 
+def _ks_hoist(params: CkksParams, a: jnp.ndarray, qs: tuple) -> jnp.ndarray:
+    """Digit-decompose a over the active level and base-extend every digit
+    to the full qs+ps basis, NTT'd: (D_active, Lqp, N). D=1 reproduces the
+    reference's single a_ext (`ckks.rs:284-289`) exactly."""
+    ps = params.ps
+    qps = qs + ps
+    plan = params.plan(qps)
+    outs = []
+    for s, e in params.digit_slices(len(qs)):
+        src = qs[s:e]
+        rest = tuple(q for q in qps if q not in src)
+        x = a[..., s:e, :]
+        ext = jnp.concatenate([x, extend_bases(x, src, rest)], axis=-2)
+        have = src + rest
+        perm = [have.index(q) for q in qps]
+        outs.append(ext[..., perm, :])
+    return rns_ntt(jnp.stack(outs, axis=-3), plan)
+
+
+def _ksk_digits(params: CkksParams, arr: jnp.ndarray, n_active: int, idx) -> jnp.ndarray:
+    """Active-level view of one ksk component: (D_active, Lqp_active, N)."""
+    d_active = len(params.digit_slices(n_active))
+    a3 = arr[None] if arr.ndim == 2 else arr
+    return a3[:d_active][..., idx, :]
+
+
+def _ks_dot(ksk_sel: jnp.ndarray, ae: jnp.ndarray, plan) -> jnp.ndarray:
+    """sum_d ksk[d] * ae[d] in the eval basis (modular digit contraction).
+    The digit axis is -3 (ae may carry leading batch axes)."""
+    acc = rns_mul_eval(ksk_sel[..., 0, :, :], ae[..., 0, :, :], plan)
+    for d in range(1, ae.shape[-3]):
+        acc = rns_add(
+            acc,
+            rns_mul_eval(ksk_sel[..., d, :, :], ae[..., d, :, :], plan),
+            plan,
+        )
+    return acc
+
+
 @partial(jax.jit, static_argnums=(0,))
 def key_switch(
     params: CkksParams, ksk: CkksKeySwitchingKey, ct: CkksCiphertext
 ) -> CkksCiphertext:
-    """extend a to QP, multiply by ksk, rescale P away (`ckks.rs:284-293`).
+    """Digit-decompose a, extend each digit to QP, dot with the per-digit
+    ksk, rescale P away (`ckks.rs:284-293`; Han-Ki digits when params.dnum).
 
-    ksk is eval-resident, so the switch costs ONE forward transform of a_ext
-    plus two inverse transforms — the key is never re-transformed."""
+    ksk is eval-resident, so the switch costs D forward transforms of the
+    extended digits plus two inverse transforms — the key is never
+    re-transformed."""
     qs = ct.qs
     ps = params.ps
     qps = qs + ps
     plan = params.plan(qps)
-    a_ext = jnp.concatenate([ct.a, extend_bases(ct.a, qs, ps)], axis=-2)
-    a_ext_eval = rns_ntt(a_ext, plan)
+    ae = _ks_hoist(params, ct.a, qs)  # (D, Lqp, N)
     # limb-intersection: select matching ksk limbs (qs is a prefix of full qs)
     idx = [params.qps.index(q) for q in qps]
-    ksk_b = ksk.b[idx, :]
-    ksk_a = ksk.a[idx, :]
-    b = rescale_k(rns_intt(rns_mul_eval(ksk_b, a_ext_eval, plan), plan), qps, len(ps))
-    a = rescale_k(rns_intt(rns_mul_eval(ksk_a, a_ext_eval, plan), plan), qps, len(ps))
+    ksk_b = _ksk_digits(params, ksk.b, len(qs), idx)
+    ksk_a = _ksk_digits(params, ksk.a, len(qs), idx)
+    b = rescale_k(rns_intt(_ks_dot(ksk_b, ae, plan), plan), qps, len(ps))
+    a = rescale_k(rns_intt(_ks_dot(ksk_a, ae, plan), plan), qps, len(ps))
     plan_q = params.plan(qs)
     return CkksCiphertext(rns_add(b, ct.b, plan_q), a, qs)

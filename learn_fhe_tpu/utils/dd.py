@@ -235,6 +235,26 @@ class DDC:
 
         return rnd(self.re_h, self.re_l), rnd(self.im_h, self.im_l)
 
+    def trunc_to_ints(self) -> tuple[list[int], list[int]]:
+        """Truncation toward zero (the reference's F256 -> BigInt semantics;
+        see utils/f256.py:trunc_to_ints)."""
+
+        def trc(h, l):
+            out = []
+            for hh, lll in zip(h.ravel(), l.ravel()):
+                n0 = int(round(hh))
+                frac = (hh - n0) + lll  # exact: |frac| < 1
+                v = n0 + int(round(frac))
+                r = (hh - v) + lll  # exact residual in (-1, 1)
+                if v > 0 and r < 0:
+                    v -= 1
+                elif v < 0 and r > 0:
+                    v += 1
+                out.append(v)
+            return out
+
+        return trc(self.re_h, self.re_l), trc(self.im_h, self.im_l)
+
 
 def dd_scalar_from_int(v: int) -> tuple[float, float]:
     """Exact dd representation of an integer up to ~2^106."""

@@ -169,6 +169,13 @@ class FPC:
         im = [_round_shift(int(v), F_BITS) for v in self.im.ravel()]
         return re, im
 
+    def trunc_to_ints(self) -> tuple[list[int], list[int]]:
+        """Truncation toward zero — the reference's `BigInt::from(&F256)`
+        semantics (`util/src/complex/f256.rs:213-238`: the mantissa is
+        shifted with RoundingMode::None, no rounding step)."""
+        t = lambda v: int(v) >> F_BITS if v >= 0 else -((-int(v)) >> F_BITS)
+        return [t(v) for v in self.re.ravel()], [t(v) for v in self.im.ravel()]
+
     # -- precision accounting --------------------------------------------------
 
     def max_error_bits(self, o: "FPC") -> float:
