@@ -96,18 +96,27 @@ def mod_switch_2n(ct: TlweCiphertext, big_n: int) -> tuple[jnp.ndarray, jnp.ndar
     return a, b
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 5))
 def blind_rotate(
     params: BootstrapParams,
     key: BootstrapKey,
     v_encoded: jnp.ndarray,
     a2n: jnp.ndarray,  # (..., n) signed exponents in [0, 2N)
     b2n: jnp.ndarray,  # (...,)
+    parity: bool = False,
 ) -> TglweCiphertext:
     """CMux chain (`bootstrapping.rs:84-96`), natively batched: every step is
     acc += (X^{a_i} - 1) (*) ExtProd(brk_i, acc) with the monomial applied
     pointwise in the NTT domain (gathered rows of the key's monomial table),
-    so no per-element coefficient gathers appear inside the scan."""
+    so no per-element coefficient gathers appear inside the scan.
+
+    parity=True runs the reference's EXACT CMux term order instead —
+    acc = cmux(brk_i, acc, acc * X^{a_i}) with the rotation in the
+    coefficient domain (`tggsw.rs:113-120` + `bootstrapping.rs:88-95`) — so
+    output ciphertexts are bit-identical to the reference, at the cost of
+    the per-step coefficient gather the default path removes (~40% of a
+    step, ARCHITECTURE §4). Unbatched only; used by the transcript parity
+    test."""
     k = params.tglwe.k
     n2 = 2 * params.big_n
     batch = b2n.shape
@@ -142,19 +151,36 @@ def blind_rotate(
         out = tggsw.cmux_rotate(params.tggsw, key_i, acc, mv, md)
         return (out.a, out.b), None
 
+    def step_parity(carry, inp):
+        acc = TglweCiphertext(*carry)
+        a_i, key_i = inp
+        out = tggsw.cmux(
+            params.tggsw, key_i, acc, tglwe.rotate(acc, a_i % n2)
+        )
+        return (out.a, out.b), None
+
+    if parity:
+        assert not batch, "parity blind rotation is unbatched by design"
     a_scan = jnp.moveaxis(a2n, -1, 0)  # (n, ...)
-    (a, b), _ = jax.lax.scan(step, (acc0.a, acc0.b), (a_scan, key.brk))
+    (a, b), _ = jax.lax.scan(
+        step_parity if parity else step, (acc0.a, acc0.b), (a_scan, key.brk)
+    )
     return TglweCiphertext(a, b)
 
 
 def bootstrap(
-    params: BootstrapParams, key: BootstrapKey, v: jnp.ndarray, ct: TlweCiphertext
+    params: BootstrapParams,
+    key: BootstrapKey,
+    v: jnp.ndarray,
+    ct: TlweCiphertext,
+    parity: bool = False,
 ) -> TlweCiphertext:
     """Programmable bootstrap: LUT v (N values mod p) -> fresh ciphertext of
-    v[round(phase)] (`bootstrapping.rs:78-82`)."""
+    v[round(phase)] (`bootstrapping.rs:78-82`). parity=True: reference-exact
+    CMux order (see blind_rotate) for ciphertext-level parity checks."""
     v_enc = tglwe.encode(params.tglwe, v)
     a2n, b2n = mod_switch_2n(ct, params.big_n)
-    acc = blind_rotate(params, key, v_enc, a2n, b2n)
+    acc = blind_rotate(params, key, v_enc, a2n, b2n, parity)
     ext = tglwe.sample_extract(params.tglwe, acc, 0)
     return tlwe.key_switch(params.tlwe, key.ksk, ext)
 

@@ -218,6 +218,17 @@ def test_tfhe_pbs_transcript_parity(tfhe_setup):
             out = bootstrap(params, key, jnp.asarray(v), ct)
             got = int(np.asarray(tlwe.decode(params.tlwe, tlwe.decrypt(params.tlwe, z, out))))
             assert got == f(m), (name, m)
+            if name == "identity":
+                # the parity path (reference-exact CMux order,
+                # `tggsw.rs:113-120` + `bootstrapping.rs:88-95`) must
+                # reproduce the reference ciphertext BIT-FOR-BIT
+                out_par = bootstrap(params, key, jnp.asarray(v), ct, parity=True)
+                np.testing.assert_array_equal(
+                    np.asarray(out_par.a), _load(f"tfhe_pbs_{name}_out_a")[m]
+                )
+                assert int(np.asarray(out_par.b)) == int(
+                    _load(f"tfhe_pbs_{name}_out_b")[m]
+                ), (name, m)
             # phase distance to the reference output: both phases decrypt to
             # f(m), so they differ by at most the summed noise of two fresh
             # bootstrap outputs — far under half a plaintext slot (2^59).
