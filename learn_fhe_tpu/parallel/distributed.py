@@ -80,3 +80,47 @@ def global_mesh(n_batch: int | None = None, n_limb: int = 1):
     # order devices host-major so contiguous 'limb' groups share a host
     devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     return make_mesh(n_batch=n_batch, n_limb=n_limb, devices=np.asarray(devices))
+
+
+# -- failure detection (new-design: the reference has no runtime at all) --------
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def collective_watchdog(seconds: float, what: str = "collective"):
+    """Bound a cross-process collective with a hard deadline.
+
+    gloo/ICI collectives BLOCK indefinitely when a peer process dies
+    mid-rendezvous, turning one host failure into a silent full-fleet hang.
+    Wrapping the collective in this context guarantees a loud, diagnosable
+    death instead: if the block has not completed after `seconds`, the
+    process prints a FAULT DETECTED line naming the collective and exits
+    with code 86 (distinct from crash codes, so orchestrators can tell
+    "peer lost" from "I crashed"). Exercised by fault injection in
+    tests/test_distributed.py::test_peer_death_is_detected_not_hung.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(seconds):
+            import sys as _sys
+
+            print(
+                f"FAULT DETECTED: {what} did not complete within {seconds:.0f}s "
+                f"— a peer process is unreachable or dead (process "
+                f"{jax.process_index()}/{jax.process_count()})",
+                file=_sys.stderr,
+                flush=True,
+            )
+            os._exit(86)
+
+    t = threading.Thread(target=_watch, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        done.set()

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "ok"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
     ).strip()
@@ -62,6 +63,24 @@ def main() -> None:
     got = np.asarray(merged.addressable_data(0))
     np.testing.assert_array_equal(got, shares.sum(axis=0) % q)
     print(f"[p{pid}] share merge across {nproc} processes: exact", flush=True)
+
+    if mode == "fault":
+        # fault injection (tests/test_distributed.py): process 1 dies
+        # abruptly after the first successful collective; the survivor's
+        # next collective must fail LOUDLY (gloo error or the runtime's
+        # collective_watchdog) instead of hanging the fleet.
+        from learn_fhe_tpu.parallel.distributed import collective_watchdog
+
+        if pid == 1:
+            os._exit(42)  # simulated host crash — no shutdown, no goodbye
+        import time
+
+        time.sleep(2)  # let the peer die first
+        with collective_watchdog(60, what="share merge after peer loss"):
+            merged = merge_shares(pmesh, gshares, q)
+            np.asarray(merged.addressable_data(0))
+        print("UNEXPECTED: collective completed after peer death", flush=True)
+        os._exit(99)
 
     # -- 2. batch-sharded TFHE PBS over the global mesh -----------------------
     from learn_fhe_tpu.models.tfhe import (

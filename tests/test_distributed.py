@@ -56,3 +56,141 @@ def test_two_process_distributed_runtime():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "DISTRIBUTED_WORKER_OK" in out, f"worker {pid} incomplete:\n{out}"
+
+
+@pytest.mark.slow
+def test_peer_death_is_detected_not_hung():
+    """Fault injection (VERDICT r3 item 7): one process dies abruptly after
+    the first collective; the surviving process must terminate with a
+    diagnosable error (gloo transport error or the runtime's
+    collective_watchdog exit 86) within the deadline — never hang."""
+    import time
+
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord, "fault"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    t0 = time.time()
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("survivor HUNG after peer death:\n" + "\n".join(outs))
+    wall = time.time() - t0
+    assert procs[1].returncode == 42, f"injected crash missing: {outs[1]}"
+    rc0 = procs[0].returncode
+    assert rc0 not in (0, 99), f"survivor did not fail: rc={rc0}\n{outs[0]}"
+    diagnosable = "FAULT DETECTED" in outs[0] or "rror" in outs[0]
+    assert diagnosable, f"survivor died without a diagnosable message:\n{outs[0]}"
+    assert wall < 300, f"detection took {wall:.0f}s"
+
+
+def test_bootstrap_key_checkpoint_resume(tmp_path):
+    """Checkpoint/resume (VERDICT r3 item 7): serialize a full TFHE
+    BootstrapKey mid-job, reload it in a fresh context, and finish the
+    second half of a sharded batch — outputs decrypt identically to the
+    uninterrupted run."""
+    import jax
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learn_fhe_tpu.models.tfhe import (
+        BootstrapParams,
+        TggswParams,
+        TglweParams,
+        TlweParams,
+        key_gen,
+        tglwe,
+        tlwe,
+    )
+    from learn_fhe_tpu.models.tfhe.bootstrapping import (
+        BootstrapKey,
+        lut_table,
+        mod_switch_2n,
+    )
+    from learn_fhe_tpu.models.tfhe.tggsw import TggswEval
+    from learn_fhe_tpu.models.tfhe.tlwe import TlweKeySwitchingKey
+    from learn_fhe_tpu.parallel.batch import tfhe_pbs_batch_device
+    from learn_fhe_tpu.utils.serialization import load, save
+
+    params = BootstrapParams(
+        TlweParams(log_p=2, padding=1, n=32, std_dev=1e-7, log_b=4, d=5),
+        TggswParams(
+            TglweParams(log_p=2, padding=1, big_n=128, k=1, std_dev=1e-14),
+            log_b=8,
+            d=2,
+        ),
+    )
+    rng = np.random.default_rng(5)
+    z = tlwe.sk_gen(params.tlwe, rng)
+    bk = key_gen(params, z, rng)
+
+    B = 8
+    ms = rng.integers(0, 4, size=B).astype(np.uint64)
+    cts = tlwe.sk_encrypt(params.tlwe, z, tlwe.encode(params.tlwe, jnp.asarray(ms)), rng)
+    tab = jnp.asarray(lut_table(2, params.big_n, lambda v: v))
+    v_enc = tglwe.encode(params.tglwe, tab)
+    a2n, b2n = mod_switch_2n(cts, params.big_n)
+
+    # uninterrupted run (the oracle)
+    full = tfhe_pbs_batch_device(params, bk, v_enc, a2n, b2n)
+
+    # "crash" after the first half: checkpoint key + pending work to disk
+    half = tfhe_pbs_batch_device(params, bk, v_enc, a2n[: B // 2], b2n[: B // 2])
+    ckpt = tmp_path / "job.npz"
+    save(
+        str(ckpt),
+        key=bk,
+        done_a=np.asarray(half.a),
+        done_b=np.asarray(half.b),
+        rest_a=np.asarray(a2n[B // 2 :]),
+        rest_b=np.asarray(b2n[B // 2 :]),
+        v_enc=np.asarray(v_enc),
+    )
+
+    # resume in a fresh context: rebuild the typed key from the checkpoint
+    state = load(
+        str(ckpt),
+        reconstruct={
+            "key": BootstrapKey,
+            "key.brk": TggswEval,
+            "key.ksk": TlweKeySwitchingKey,
+        },
+    )
+    key2 = jax.tree.map(jnp.asarray, state["key"])
+    rest = tfhe_pbs_batch_device(
+        params, key2, jnp.asarray(state["v_enc"]),
+        jnp.asarray(state["rest_a"]), jnp.asarray(state["rest_b"]),
+    )
+    resumed_a = np.concatenate([state["done_a"], np.asarray(rest.a)])
+    resumed_b = np.concatenate([state["done_b"], np.asarray(rest.b)])
+    np.testing.assert_array_equal(resumed_a, np.asarray(full.a))
+    np.testing.assert_array_equal(resumed_b, np.asarray(full.b))
+    got = np.asarray(
+        tlwe.decode(
+            params.tlwe,
+            tlwe.decrypt(
+                params.tlwe,
+                z,
+                tlwe.TlweCiphertext(jnp.asarray(resumed_a), jnp.asarray(resumed_b)),
+            ),
+        )
+    )
+    np.testing.assert_array_equal(got, ms)
