@@ -518,6 +518,62 @@ def bench_scaling(args):
         jax.block_until_ready(out)
         results[n_dev] = B * args.iters / (time.time() - t0)
     base = results[1]
+
+    # -- CKKS mul, LIMB axis sharded (tp-like: the chatty axis) ----------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from learn_fhe_tpu.models.ckks import ckks as Ck
+
+    cparams = Ck.CkksParams(log_n=7, log_qi=45, big_l=8)
+    csk = Ck.sk_gen(cparams, rng)
+    crlk = Ck.rlk_gen(cparams, csk, rng)
+    mm = (rng.standard_normal(cparams.l) + 1j * rng.standard_normal(cparams.l)) * 0.5
+    cct = Ck.sk_encrypt(cparams, csk, Ck.encode(cparams, mm), cparams.qs, rng)
+    ckks_results = {}
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > jax.device_count():
+            break
+        lmesh = make_mesh(n_batch=1, n_limb=n_dev, devices=jax.devices()[:n_dev])
+        sl = lambda x: jax.device_put(x, NamedSharding(lmesh, P("limb", None)))
+        ct_s = Ck.CkksCiphertext(sl(cct.b), sl(cct.a), cct.qs)
+        rlk_s = Ck.CkksKeySwitchingKey(sl(crlk.b), sl(crlk.a), crlk.qs)
+        out = Ck.mul(cparams, rlk_s, ct_s, ct_s)
+        jax.block_until_ready((out.b, out.a))
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = Ck.mul(cparams, rlk_s, ct_s, ct_s)
+        jax.block_until_ready((out.b, out.a))
+        ckks_results[n_dev] = args.iters / (time.time() - t0)
+
+    # -- u32 NTT polymul, COEFFICIENT axis sharded over the whole mesh --------
+    from learn_fhe_tpu.ops.ntt32 import negacyclic_mul32, ntt32_plan
+    from learn_fhe_tpu.parallel.coef import coef_mesh, shard_coef
+    from learn_fhe_tpu.parallel.coef32 import coef32_sharded_mul
+    from learn_fhe_tpu.utils.primes import two_adic_primes
+
+    q32 = next(two_adic_primes(28, 15))
+    n32 = 1 << 14
+    na = rng.integers(0, q32, size=(4, n32)).astype(np.uint32)
+    nb = rng.integers(0, q32, size=(4, n32)).astype(np.uint32)
+    ntt_results = {}
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > jax.device_count():
+            break
+        if n_dev == 1:
+            plan32 = ntt32_plan(q32, n32)
+            run = lambda: negacyclic_mul32(jnp.asarray(na), jnp.asarray(nb), plan32)
+        else:
+            cm = coef_mesh(n_dev, devices=jax.devices()[:n_dev])
+            sa = shard_coef(cm, jnp.asarray(na))
+            sb = shard_coef(cm, jnp.asarray(nb))
+            run = lambda: coef32_sharded_mul(cm, sa, sb, q32)
+        out = run()
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = run()
+        jax.block_until_ready(out)
+        ntt_results[n_dev] = 4 * args.iters / (time.time() - t0)
     eff8 = results.get(8, results[max(results)]) / (max(results) * base)
     row = {
         "metric": "tfhe_pbs_scaling_efficiency_8dev",
@@ -530,6 +586,14 @@ def bench_scaling(args):
     import pathlib
     import sys
 
+    def curve(res):
+        b1 = res[1]
+        return {
+            "throughput": {str(d): round(v, 2) for d, v in res.items()},
+            "efficiency": {str(d): round(v / (d * b1), 4) for d, v in res.items()},
+            "aggregate_vs_1dev": {str(d): round(v / b1, 4) for d, v in res.items()},
+        }
+
     artifact = dict(
         row,
         platform=jax.devices()[0].platform,
@@ -537,6 +601,11 @@ def bench_scaling(args):
         per_device_throughput={str(d): round(v, 1) for d, v in results.items()},
         efficiency={
             str(d): round(v / (d * base), 4) for d, v in results.items()
+        },
+        workloads={
+            "tfhe_pbs_batch64": curve(results),
+            "ckks_mul_limb_sharded_l8p8_n128": curve(ckks_results),
+            "ntt32_polymul_coef_sharded_n2e14": curve(ntt_results),
         },
         # On the virtual CPU mesh all D "devices" share this host's single
         # core, so per-device efficiency is bounded by ~1/D by construction

@@ -129,18 +129,21 @@ def _bsgs_apply(
     n = ct.a.shape[-1]
     idx = [params.qps.index(q) for q in qps]
 
-    a_ext = jnp.concatenate([ct.a, extend_bases(ct.a, qs, ps)], axis=-2)
-    ae = rns_ntt(a_ext, plan_qp)  # rows [:L] are NTT(ct.a)
+    ae = C._ks_hoist(params, ct.a, qs)  # (..., D, L+P, N) per-digit hoist
+    # NTT(ct.a) over the q basis for the key-switch-free (j=0) diagonal
+    # products: with one digit it is exactly the first L hoisted rows; with
+    # dnum digits each row mixes one digit only, so transform a directly.
+    ae_q = ae[..., 0, :L, :] if ae.shape[-3] == 1 else rns_ntt(ct.a, plan_q)
     be = rns_ntt(ct.b, plan_q)
 
-    W = {}  # j -> (ksk_b * perm(ae), ksk_a * perm(ae), perm(be)) in eval
+    W = {}  # j -> (ksk_b . perm(ae), ksk_a . perm(ae), perm(be)) in eval
     for rtk in baby_rtks:
         t = params.pow5(rtk.j)
         perm = jnp.asarray(eval_automorphism_perm(n, t))
         aer = ae[..., perm]
         W[rtk.j] = (
-            rns_mul_eval(rtk.ksk.b[idx, :], aer, plan_qp),
-            rns_mul_eval(rtk.ksk.a[idx, :], aer, plan_qp),
+            C._ks_dot(C._ksk_digits(params, rtk.ksk.b, L, idx), aer, plan_qp),
+            C._ks_dot(C._ksk_digits(params, rtk.ksk.a, L, idx), aer, plan_qp),
             be[..., perm],
         )
 
@@ -152,7 +155,7 @@ def _bsgs_apply(
         for j, pt in zip(ijs, pt_group):
             if j == 0:
                 tb = rns_mul_eval(pt[:L], be, plan_q)
-                ta = rns_mul_eval(pt[:L], ae[..., :L, :], plan_q)
+                ta = rns_mul_eval(pt[:L], ae_q, plan_q)
                 acc_bb = tb if acc_bb is None else rns_add(acc_bb, tb, plan_q)
                 acc_aq = ta if acc_aq is None else rns_add(acc_aq, ta, plan_q)
             else:
@@ -199,7 +202,14 @@ def _mul_mat(
             pt = bk.pt_cache.get(key)
             if pt is None:
                 diag = mat[(i + j) % params.l].roll(i)  # rot_iter(-i)
-                pt = _pt_eval(qps, C.encode(params, diag, qps))
+                # encode at the scale of the prime this chunk's rescale
+                # drops, so the ciphertext scale is INVARIANT through the
+                # transform (S' = S * enc/q_top = S). With the reference's
+                # uniform primes this only redistributes deterministic
+                # sub-ulp drift; with a production prime LADDER it is what
+                # keeps the stage scales from drifting by the prime-size
+                # ratio (production.py).
+                pt = _pt_eval(qps, C.encode(params, diag, qps, scale_int=ct.qs[-1]))
                 bk.pt_cache[key] = pt
             group.append(pt)
         pts.append(tuple(group))

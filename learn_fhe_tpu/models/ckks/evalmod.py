@@ -325,6 +325,18 @@ class EvalModParams:
     # model 23.9 -> 46.3-bit floor). Costs 2 extra levels (two ct muls + one
     # constant mul replace the single constant multiply).
     arcsin: bool = False
+    # Internal working scale of the EvalMod chain (log2). The rescale/ksk
+    # noise wall (ARCHITECTURE §16) tracks the ciphertext's RUNNING scale,
+    # not the dropped primes' size — with a production prime ladder
+    # (production.py) params.scale is a cheap transform-band prime, so the
+    # chain must be pinned to the 60-bit EvalMod band explicitly. None keeps
+    # the reference-fixture behavior (run at params.scale).
+    log_work_scale: int | None = None
+
+    def work_scale(self, params: CkksParams) -> "Fraction":
+        if self.log_work_scale is None:
+            return Fraction(params.scale)
+        return Fraction(1 << self.log_work_scale)
 
     @cached_property
     def cheb_coeffs(self) -> np.ndarray:
@@ -340,11 +352,17 @@ def _eval_mod_real_s(
     x: _SCt,
     em: EvalModParams,
     c: float,
+    S_out: Fraction | None = None,
 ) -> _SCt:
     """Scale-tracked core: slots hold s = x / (c*(k+1)) in [-1, 1] for REAL
-    x = w + c*I; returns slots ~ w at true scale ~params.scale."""
+    x = w + c*I; returns slots ~ w at true scale ~S_out (default
+    params.scale; a prime ladder lands on the user band instead,
+    production.py). The chain runs internally at em.work_scale (the noise
+    wall tracks the running scale, see EvalModParams.log_work_scale)."""
+    if S_out is None:
+        S_out = Fraction(params.scale)
     ctx = _ChebCtx(params, rlk, {1: x})
-    cos_ct = ctx.eval(em.cheb_coeffs, 8, Fraction(params.scale))
+    cos_ct = ctx.eval(em.cheb_coeffs, 8, em.work_scale(params))
     for _ in range(em.r):  # cos 2a = 2 cos^2 a - 1
         sq = _smul(params, rlk, cos_ct, cos_ct)
         cos_ct = _sadd_const(params, _SCt(_double(sq.ct), sq.S), -1.0)
@@ -353,18 +371,18 @@ def _eval_mod_real_s(
         # w ~ (c/2pi) asin(u) to cubic order, factored u * (A + (A/6) u^2)
         # with A = c/2pi so the whole correction costs 2 levels beyond the
         # plain path. Back-solve the inner branch's scale target so the
-        # final product lands exactly on params.scale (levels are prefix
+        # final product lands exactly on S_out (levels are prefix
         # bases of params.qs, and each mul/const-mul drops exactly one).
         l_cos = len(cos_ct.ct.qs)
         assert l_cos >= 4, f"arcsin correction needs 3 levels, have {l_cos - 1}"
         A = c / (2 * np.pi)
-        S_p = Fraction(params.scale) * params.qs[l_cos - 3] / cos_ct.S
+        S_p = S_out * params.qs[l_cos - 3] / cos_ct.S
         u2 = _smul(params, rlk, cos_ct, cos_ct)
         p = _sadd_const(params, _smul_const(params, u2, A / 6.0, S_p), A)
         return _smul(params, rlk, p, cos_ct)
-    # scale by c/2pi and land the true scale exactly on params.scale
+    # scale by c/2pi and land the true scale exactly on S_out
     # (folds the tracked drift away)
-    return _smul_const(params, cos_ct, c / (2 * np.pi), Fraction(params.scale))
+    return _smul_const(params, cos_ct, c / (2 * np.pi), S_out)
 
 
 def eval_mod_real(
@@ -382,13 +400,11 @@ def eval_mod_real(
 
 def _cts_scale(params: CkksParams, ct: CkksCiphertext) -> Fraction:
     """True scale of a CoeffToSlot output: each BSGS chunk multiplies by
-    diagonals encoded at params.scale and rescales away the then-top prime,
-    so S = scale * prod(scale / q) over the dropped primes (the top
-    len(params.qs) - len(ct.qs) of the chain)."""
-    S = Fraction(params.scale)
-    for q in params.qs[len(ct.qs):]:
-        S = S * params.scale / q
-    return S
+    diagonals encoded at the then-top prime's scale and rescales that prime
+    away (scale-invariant transforms, bootstrapping.py), so the fresh-encode
+    scale survives unchanged."""
+    del ct
+    return Fraction(params.scale)
 
 
 def eval_mod(
@@ -398,19 +414,23 @@ def eval_mod(
     ct: CkksCiphertext,
     em: EvalModParams,
     c: float,
+    S_in: Fraction | None = None,
+    S_out: Fraction | None = None,
 ) -> CkksCiphertext:
     """Complex slots z = x + i y with x, y = w + c*I each: EvalMod the real
-    and imaginary parts separately via conjugation and recombine. The input
-    is assumed to carry CoeffToSlot's (deterministic) scale history; the
-    first constant multiply corrects it exactly."""
-    S_in = _cts_scale(params, ct)
+    and imaginary parts separately via conjugation and recombine. S_in is
+    the input's exact tracked scale (default: a CoeffToSlot output's);
+    S_out is the exact scale the output lands on (default params.scale;
+    a prime ladder lands on the user band, production.py)."""
+    if S_in is None:
+        S_in = _cts_scale(params, ct)
     conj = C.conjugate(params, cjk, ct)
     sc = 1.0 / (2.0 * c * (em.k + 1))
-    S0 = Fraction(params.scale)
+    S0 = em.work_scale(params)
     s_re = _smul_const(params, _SCt(C.add(ct, conj), S_in), sc, S0)
     s_im = _smul_const(params, _SCt(C.sub(ct, conj), S_in), sc * -1j, S0)
-    w_re = _eval_mod_real_s(params, rlk, s_re, em, c)
-    w_im = _eval_mod_real_s(params, rlk, s_im, em, c)
+    w_re = _eval_mod_real_s(params, rlk, s_re, em, c, S_out)
+    w_im = _eval_mod_real_s(params, rlk, s_im, em, c, S_out)
     return _sadd(w_re, _smul_const(params, w_im, 1j, w_re.S)).ct
 
 
@@ -446,12 +466,19 @@ def bootstrap(
     cjk: CkksKeySwitchingKey,
     ct: CkksCiphertext,
     em: EvalModParams = EvalModParams(),
+    S_in: Fraction | None = None,
+    S_out: Fraction | None = None,
 ) -> CkksCiphertext:
     """Full CKKS bootstrap: an exhausted ciphertext (basis (q0,)) returns at
-    a high level carrying the SAME message (approximately)."""
+    a high level carrying the SAME message (approximately). S_in: the exact
+    scale the input's message is encoded at (default params.scale); S_out:
+    the exact scale the output lands on (slot_to_coeff is scale-invariant,
+    so eval_mod's landing IS the output scale)."""
+    if S_in is None:
+        S_in = Fraction(params.scale)
     q0 = ct.qs[0]
-    c = q0 / params.scale  # slot units per q0 wrap
+    c = float(q0 / S_in)  # slot units per q0 wrap
     raised = mod_raise(params, ct)
     slots = coeff_to_slot(bk, raised)
-    cleaned = eval_mod(params, rlk, cjk, slots, em, c)
+    cleaned = eval_mod(params, rlk, cjk, slots, em, c, S_in=S_in, S_out=S_out)
     return slot_to_coeff(bk, cleaned)
