@@ -33,7 +33,15 @@ DUMP_DIR = os.path.join(os.path.dirname(__file__), "vectors", "rust_dump")
 
 needs_transcripts = pytest.mark.skipif(
     not os.path.isfile(os.path.join(DUMP_DIR, "fhew_rng_probe.npy")),
-    reason="no rust transcript dump present (run tools/rust-dump with cargo)",
+    reason="no rust transcript dump present (run tools/rust-dump with cargo, "
+    "or the independent oracle: python tools/pydump/*_dump.py)",
+)
+
+# the TFHE key material (151MB) is regenerable and kept out of git:
+# python tools/pydump/tfhe_dump.py  (~40 min CPU)
+needs_tfhe_keys = pytest.mark.skipif(
+    not os.path.isfile(os.path.join(DUMP_DIR, "tfhe_brk.npy")),
+    reason="TFHE transcript key material absent (python tools/pydump/tfhe_dump.py)",
 )
 
 
@@ -158,6 +166,7 @@ def tfhe_setup():
 
 
 @needs_transcripts
+@needs_tfhe_keys
 def test_tfhe_pbs_transcript_parity(tfhe_setup):
     """Reference keys + inputs -> our PBS must reproduce the reference's
     decrypted outputs exactly, and the output phase must sit within the
