@@ -7,6 +7,8 @@ end-to-end ladder bootstrap (prime-bit ladder + dnum key switching + dense
 keys + user-band landing scale) at a CPU-friendly ring.
 """
 
+import os
+
 import numpy as np
 import pytest
 from fractions import Fraction
@@ -119,3 +121,36 @@ def test_mini_ladder_user_levels_usable(mini):
     print(f"post-bootstrap muls: exhausted to {len(ct.qs)} limbs, {rel_bits:.1f} bits")
     assert len(ct.qs) == 1  # burned every user level, ended exactly at q0
     assert rel_bits > 12.0, rel_bits
+
+
+@pytest.mark.skipif(
+    not os.environ.get("FHE_TPU_HEAVY"),
+    reason="hours-scale: the full certified N=2^16 bootstrap (set FHE_TPU_HEAVY=1; "
+    "bench/production_bootstrap_probe.py is the same path with progress marks)",
+)
+def test_flagship_bootstrap_end_to_end():
+    """The certified flagship executed: N=2^16 @ 128-bit HES (dense keys),
+    bootstrap -> >=20 bits relative precision with 1+4 levels left -> 4
+    user squarings still decode. ~19GB of keys (intrinsic to certified-dense
+    bootstrapping) means host-RAM execution on this box; the multi-chip
+    sharded path is validated by dryrun_multichip."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(__file__), "..", "bench", "production_bootstrap_probe.py"
+            ),
+            "--log-n",
+            "16",
+            "--user-levels",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=8 * 3600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "PRODUCTION FLAGSHIP PASS" in r.stdout, r.stdout[-2000:]
