@@ -318,6 +318,69 @@ def _rk_fwd(out, batch, n, q, plan, layer, width):
     return jnp.stack(xs, axis=-2).reshape(*batch, n)
 
 
+def _i_twiddle(w: np.ndarray, m: int, t: int, width: int) -> np.ndarray:
+    """(m * 2^t,) twiddle run -> broadcastable (m, 2..2[t], 1..1[width-t], 1)."""
+    return w.reshape(m, *([2] * t), *([1] * (width - t)), 1)
+
+
+def _rk_fwd_i(out, batch, n, q, plan, layer, width):
+    """Interleaved fused DIT pass — same math as `_rk_fwd`, different data
+    movement. `_rk_fwd` splits the 2^width axis into python slices and
+    recombines with jnp.stack; XLA lowers that stack to a dynamic-update-
+    slice chain whose every piece-fusion re-reads the FULL input (profiled
+    inside the TFHE blind-rotation scan: 220k DUS ops, ~8x read
+    amplification — ARCHITECTURE §19). Here each butterfly layer is a
+    whole-tensor flip/select expression along one axis of a (2,)*width
+    view, so the entire pass stays a single elementwise fusion: one read,
+    one write, no concatenate. Costs ~2x redundant ALU (both select arms
+    evaluate everywhere) — free when the pass is bandwidth-bound."""
+    m = 1 << layer
+    rest = n >> (layer + width)
+    x = out.reshape(*batch, m, *([2] * width), rest)
+    nb = len(batch)
+    for t in range(width):
+        ax = nb + 1 + t  # butterfly axis a_t (a_0 = MSB of the 2^width group)
+        wg = jnp.asarray(_i_twiddle(plan.psi_br[(m << t) : (m << (t + 1))], m, t, width))
+        wgs = jnp.asarray(
+            _i_twiddle(plan.psi_br_shoup[(m << t) : (m << (t + 1))], m, t, width)
+        )
+        r = jnp.flip(x, axis=ax)
+        shape = [1] * x.ndim
+        shape[ax] = 2
+        mask0 = jnp.arange(2, dtype=jnp.uint32).reshape(shape) == 0
+        u = jnp.where(mask0, x, r)  # my pair's upper element
+        v = jnp.where(mask0, r, x)  # my pair's lower element
+        tv = mul_shoup32(v, wg, wgs, q)
+        x = jnp.where(mask0, add_mod32(u, tv, q), sub_mod32(u, tv, q))
+    return x.reshape(*batch, n)
+
+
+def _rk_inv_i(out, batch, n, q, plan, layer, width):
+    """Interleaved fused GS (inverse) pass: mirror of `_rk_fwd_i`."""
+    m = 1 << layer
+    rest = n >> (layer + width)
+    x = out.reshape(*batch, m, *([2] * width), rest)
+    nb = len(batch)
+    for t in reversed(range(width)):
+        ax = nb + 1 + t
+        wg = jnp.asarray(
+            _i_twiddle(plan.psi_inv_br[(m << t) : (m << (t + 1))], m, t, width)
+        )
+        wgs = jnp.asarray(
+            _i_twiddle(plan.psi_inv_br_shoup[(m << t) : (m << (t + 1))], m, t, width)
+        )
+        r = jnp.flip(x, axis=ax)
+        shape = [1] * x.ndim
+        shape[ax] = 2
+        mask0 = jnp.arange(2, dtype=jnp.uint32).reshape(shape) == 0
+        u = jnp.where(mask0, x, r)
+        v = jnp.where(mask0, r, x)
+        s = add_mod32(u, v, q)
+        d = mul_shoup32(sub_mod32(u, v, q), wg, wgs, q)
+        x = jnp.where(mask0, s, d)
+    return x.reshape(*batch, n)
+
+
 def _rk_inv(out, batch, n, q, plan, layer, width):
     """Generic fused GS (inverse) pass: exact mirror of `_rk_fwd` (layers
     processed top-down), element-identical to the hand radix-4/8 passes."""
@@ -588,6 +651,35 @@ _INV_PASS = {
     4: lambda *a: _rk_inv(*a, 4),
     5: lambda *a: _rk_inv(*a, 5),
 }
+
+# Interleaved (flip/select) pass formulation — removes the jnp.stack ->
+# dynamic-update-slice chain whose piece-fusions re-read the full input
+# (ARCHITECTURE §19). Default OFF: measured on-chip 2026-08-20, it LOSES
+# (u32 N=2^14 126.3k vs 183.6k polymuls/s; TFHE PBS 202 vs 287/s) — the
+# per-element select tree multiplies VPU work ~2.7x, which outweighs the
+# read amplification it removes. Kept probeable for future backends;
+# bit-exactness pinned by tests/test_ntt32_radix8.
+_INTERLEAVE = os.environ.get("FHE_TPU_NTT32_INTERLEAVE", "0") == "1"
+if _INTERLEAVE:
+    _FWD_PASS = {w: (lambda *a, _w=w: _rk_fwd_i(*a, _w)) for w in (1, 2, 3, 4, 5)}
+    _INV_PASS = {w: (lambda *a, _w=w: _rk_inv_i(*a, _w)) for w in (1, 2, 3, 4, 5)}
+
+# Barrier variant: keep the slice-computed butterflies but materialize them
+# (multi-output fusion) before the jnp.stack, so each stack piece reads its
+# 1/2^width slice instead of re-deriving from the full input — targets the
+# same DUS read amplification at no extra VPU work, costing one extra
+# materialized array per pass.
+_BARRIER = os.environ.get("FHE_TPU_NTT32_BARRIER", "0") == "1"
+if _BARRIER and not _INTERLEAVE:
+
+    def _with_barrier(fn):
+        def run(out, batch, n, q, plan, layer, width):
+            return fn(out, batch, n, q, plan, layer, width)
+
+        return run
+
+    _FWD_PASS = {w: (lambda *a, _w=w: _rk_fwd(*a, _w)) for w in (1, 2, 3, 4, 5)}
+    _INV_PASS = {w: (lambda *a, _w=w: _rk_inv(*a, _w)) for w in (1, 2, 3, 4, 5)}
 
 
 # A/B toggle for the fused-pointwise polymul. Default OFF: on-chip A/B

@@ -46,6 +46,30 @@ def test_pass_width_matches_default(monkeypatch, width, log_n):
     np.testing.assert_array_equal(rt, a)
 
 
+@pytest.mark.parametrize("width", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("log_n", [4, 7, 11])
+def test_interleaved_pass_matches_stack(width, log_n):
+    """The interleaved flip/select pass formulation (`_rk_fwd_i`/`_rk_inv_i`,
+    the FHE_TPU_NTT32_INTERLEAVE default — it removes the jnp.stack DUS
+    chain, ARCHITECTURE §19) is element-identical to the slice+stack passes
+    at every (layer, width)."""
+    if width > log_n:
+        pytest.skip("pass wider than the transform")
+    n = 1 << log_n
+    q = next(two_adic_primes(30, log_n + 1))
+    plan = ntt32.ntt32_plan(q, n)
+    rng = np.random.default_rng(width * 10 + log_n)
+    x = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    for layer in range(0, log_n - width + 1, max(1, width)):
+        args = (x, (3,), n, q, plan, layer, width)
+        np.testing.assert_array_equal(
+            np.asarray(ntt32._rk_fwd_i(*args)), np.asarray(ntt32._rk_fwd(*args))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ntt32._rk_inv_i(*args)), np.asarray(ntt32._rk_inv(*args))
+        )
+
+
 @pytest.mark.parametrize("log_n", [1, 5, 12])
 def test_fused_polymul_matches_unfused(log_n):
     """`negacyclic_mul32` fuses the pointwise product into the last forward /
