@@ -38,7 +38,9 @@ def main():
     ap.add_argument("--amp", type=float, default=0.3)
     ap.add_argument("--user-levels", type=int, default=4)
     ap.add_argument("--keygroup", type=int, default=4)
+    ap.add_argument("--log-q0", type=int, default=None)
     args = ap.parse_args()
+    extra = {} if args.log_q0 is None else {"log_q0": args.log_q0}
 
     from learn_fhe_tpu.models.ckks import bootstrapping as B
     from learn_fhe_tpu.models.ckks import ckks as C
@@ -51,9 +53,9 @@ def main():
     from learn_fhe_tpu.utils.matrix import bsgs_plan
 
     if args.log_n >= 16:
-        cfg = production_config(log_n=args.log_n, user_levels=args.user_levels)
+        cfg = production_config(log_n=args.log_n, user_levels=args.user_levels, **extra)
     else:  # smoke rings: same machinery, certification assert not applicable
-        cfg = ProductionConfig(log_n=args.log_n, user_levels=args.user_levels)
+        cfg = ProductionConfig(log_n=args.log_n, user_levels=args.user_levels, **extra)
     params = cfg.params
     print(f"config: {cfg.summary()}", flush=True)
     rng = np.random.default_rng(2026)

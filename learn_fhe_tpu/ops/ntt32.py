@@ -22,6 +22,7 @@ from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..utils.primes import mod_inverse, two_adic_generator
 from .modular32 import (
@@ -315,6 +316,8 @@ def _rk_fwd(out, batch, n, q, plan, layer, width):
                 new[base + i] = add_mod32(u, tv, q)
                 new[base + half + i] = sub_mod32(u, tv, q)
         xs = new
+    if _BARRIER:
+        xs = list(lax.optimization_barrier(tuple(xs)))
     return jnp.stack(xs, axis=-2).reshape(*batch, n)
 
 
@@ -328,8 +331,8 @@ def _rk_fwd_i(out, batch, n, q, plan, layer, width):
     movement. `_rk_fwd` splits the 2^width axis into python slices and
     recombines with jnp.stack; XLA lowers that stack to a dynamic-update-
     slice chain whose every piece-fusion re-reads the FULL input (profiled
-    inside the TFHE blind-rotation scan: 220k DUS ops, ~8x read
-    amplification — ARCHITECTURE §19). Here each butterfly layer is a
+    inside the TFHE blind-rotation scan: 255k DUS ops, 38% of device
+    compute — ARCHITECTURE §19). Here each butterfly layer is a
     whole-tensor flip/select expression along one axis of a (2,)*width
     view, so the entire pass stays a single elementwise fusion: one read,
     one write, no concatenate. Costs ~2x redundant ALU (both select arms
@@ -404,6 +407,8 @@ def _rk_inv(out, batch, n, q, plan, layer, width):
                 new[base + i] = add_mod32(u, v, q)
                 new[base + half + i] = mul_shoup32(sub_mod32(u, v, q), wg, wgs, q)
         xs = new
+    if _BARRIER:
+        xs = list(lax.optimization_barrier(tuple(xs)))
     return jnp.stack(xs, axis=-2).reshape(*batch, n)
 
 
@@ -665,19 +670,14 @@ if _INTERLEAVE:
     _INV_PASS = {w: (lambda *a, _w=w: _rk_inv_i(*a, _w)) for w in (1, 2, 3, 4, 5)}
 
 # Barrier variant: keep the slice-computed butterflies but materialize them
-# (multi-output fusion) before the jnp.stack, so each stack piece reads its
+# (`lax.optimization_barrier` inside `_rk_fwd`/`_rk_inv` forces one
+# multi-output fusion) before the jnp.stack, so each stack piece reads its
 # 1/2^width slice instead of re-deriving from the full input — targets the
 # same DUS read amplification at no extra VPU work, costing one extra
-# materialized array per pass.
+# materialized array per pass. Routes the hand radix-2/4/8 widths through
+# the element-identical generic passes so the barrier applies everywhere.
 _BARRIER = os.environ.get("FHE_TPU_NTT32_BARRIER", "0") == "1"
 if _BARRIER and not _INTERLEAVE:
-
-    def _with_barrier(fn):
-        def run(out, batch, n, q, plan, layer, width):
-            return fn(out, batch, n, q, plan, layer, width)
-
-        return run
-
     _FWD_PASS = {w: (lambda *a, _w=w: _rk_fwd(*a, _w)) for w in (1, 2, 3, 4, 5)}
     _INV_PASS = {w: (lambda *a, _w=w: _rk_inv(*a, _w)) for w in (1, 2, 3, 4, 5)}
 
