@@ -129,11 +129,14 @@ def test_mini_ladder_user_levels_usable(mini):
     "bench/production_bootstrap_probe.py is the same path with progress marks)",
 )
 def test_flagship_bootstrap_end_to_end():
-    """The certified flagship executed: N=2^16 @ 128-bit HES (dense keys),
+    """The flagship heavy run: N=2^16 @ 128-bit HES (dense keys),
     bootstrap -> >=20 bits relative precision with 1+4 levels left -> 4
-    user squarings still decode. ~19GB of keys (intrinsic to certified-dense
-    bootstrapping) means host-RAM execution on this box; the multi-chip
-    sharded path is validated by dryrun_multichip."""
+    user squarings still decode. The config is HES-certified on paper; this
+    test is what makes the precision claim TRUE (the N=2^13 scaled probe of
+    2026-08-20 FAILED at 17.9 bits before the round-5 retune — ARCHITECTURE
+    §20). ~19GB of keys (intrinsic to certified-dense bootstrapping) means
+    host-RAM execution on this box; the multi-chip sharded path is validated
+    by dryrun_multichip."""
     import subprocess
     import sys
 
