@@ -122,6 +122,10 @@ class ProductionConfig:
     arcsin: bool = True
     cheb_degree: int = 30
     baby: int = 8
+    # Overrides for the precision-model sensitivity sweeps (precision.py):
+    # pin the double-angle count / wrap bound instead of deriving them.
+    force_r: int | None = None
+    force_k: int | None = None
 
     @property
     def n(self) -> int:
@@ -134,11 +138,17 @@ class ProductionConfig:
 
     @cached_property
     def em(self) -> EvalModParams:
-        k = wrap_bound(self.h, self.sigma_mult)
+        k = self.force_k if self.force_k is not None else wrap_bound(
+            self.h, self.sigma_mult
+        )
         # double-angle count: scale the cosine argument down until the
         # Chebyshev band (k+1)/2^r covers at most ~2 periods, keeping the
         # interpolation degree flat as K grows with dense keys
-        r = max(3, math.ceil(math.log2((k + 1) / 2.0)))
+        r = (
+            self.force_r
+            if self.force_r is not None
+            else max(3, math.ceil(math.log2((k + 1) / 2.0)))
+        )
         return EvalModParams(
             k=k,
             r=r,

@@ -677,7 +677,16 @@ if _INTERLEAVE:
 # materialized array per pass. Routes the hand radix-2/4/8 widths through
 # the element-identical generic passes so the barrier applies everywhere.
 _BARRIER = os.environ.get("FHE_TPU_NTT32_BARRIER", "0") == "1"
-if _BARRIER and not _INTERLEAVE:
+if _BARRIER and _INTERLEAVE:
+    # Precedence: the interleaved tables win and the barrier branch inside
+    # `_rk_fwd`/`_rk_inv` never runs — a silent no-op that would corrupt an
+    # A/B measurement (ADVICE r04). Refuse the combination outright.
+    raise RuntimeError(
+        "FHE_TPU_NTT32_BARRIER=1 and FHE_TPU_NTT32_INTERLEAVE=1 are mutually "
+        "exclusive (the interleaved passes never reach the barrier branch); "
+        "set exactly one"
+    )
+if _BARRIER:
     _FWD_PASS = {w: (lambda *a, _w=w: _rk_fwd(*a, _w)) for w in (1, 2, 3, 4, 5)}
     _INV_PASS = {w: (lambda *a, _w=w: _rk_inv(*a, _w)) for w in (1, 2, 3, 4, 5)}
 

@@ -91,3 +91,59 @@ def test_fused_polymul_matches_unfused(log_n):
     )
     got = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("width", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("log_n", [4, 7, 11])
+def test_barrier_pass_matches_default(monkeypatch, width, log_n):
+    """The FHE_TPU_NTT32_BARRIER=1 formulation (`lax.optimization_barrier`
+    materializing the butterfly slices before the jnp.stack, ARCHITECTURE
+    §19) is value-neutral: barriers only pin graph structure. Pins the env
+    path's math, which until round 5 was only verified manually (ADVICE r04).
+    The flag's pass-table remap routes hand radix widths through the generic
+    `_rk_fwd`/`_rk_inv` — whose equivalence to the hand paths is pinned by
+    test_pass_width_matches_default — so barrier-on generic passes vs
+    barrier-off generic passes is exactly the remaining delta."""
+    if width > log_n:
+        pytest.skip("pass wider than the transform")
+    n = 1 << log_n
+    q = next(two_adic_primes(30, log_n + 1))
+    plan = ntt32.ntt32_plan(q, n)
+    rng = np.random.default_rng(width * 17 + log_n)
+    x = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    for layer in range(0, log_n - width + 1, max(1, width)):
+        args = (x, (3,), n, q, plan, layer, width)
+        monkeypatch.setattr(ntt32, "_BARRIER", False)
+        want_f = np.asarray(ntt32._rk_fwd(*args))
+        want_i = np.asarray(ntt32._rk_inv(*args))
+        monkeypatch.setattr(ntt32, "_BARRIER", True)
+        np.testing.assert_array_equal(np.asarray(ntt32._rk_fwd(*args)), want_f)
+        np.testing.assert_array_equal(np.asarray(ntt32._rk_inv(*args)), want_i)
+
+
+def test_barrier_polymul_matches_default(monkeypatch):
+    """Full negacyclic polymul under the barrier remap (generic pass tables +
+    _BARRIER=True, mirroring FHE_TPU_NTT32_BARRIER=1 at import) is
+    bit-identical to the ambient default."""
+    log_n = 11
+    n = 1 << log_n
+    q = next(two_adic_primes(30, log_n + 1))
+    plan = ntt32.ntt32_plan(q, n)
+    rng = np.random.default_rng(1131)
+    a = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    b = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    want = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
+
+    monkeypatch.setattr(ntt32, "_BARRIER", True)
+    monkeypatch.setattr(
+        ntt32,
+        "_FWD_PASS",
+        {w: (lambda *ar, _w=w: ntt32._rk_fwd(*ar, _w)) for w in (1, 2, 3, 4, 5)},
+    )
+    monkeypatch.setattr(
+        ntt32,
+        "_INV_PASS",
+        {w: (lambda *ar, _w=w: ntt32._rk_inv(*ar, _w)) for w in (1, 2, 3, 4, 5)},
+    )
+    got = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
+    np.testing.assert_array_equal(got, want)

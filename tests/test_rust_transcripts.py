@@ -38,10 +38,11 @@ needs_transcripts = pytest.mark.skipif(
 )
 
 # the TFHE key material (151MB) is regenerable and kept out of git:
-# python tools/pydump/tfhe_dump.py  (~40 min CPU)
+# `make parity` (= python tools/pydump/tfhe_dump.py, ~40 min CPU, one-time)
 needs_tfhe_keys = pytest.mark.skipif(
     not os.path.isfile(os.path.join(DUMP_DIR, "tfhe_brk.npy")),
-    reason="TFHE transcript key material absent (python tools/pydump/tfhe_dump.py)",
+    reason="TFHE transcript key material absent — regenerate with `make parity` "
+    "(~40 min, one-time per checkout)",
 )
 
 

@@ -544,9 +544,290 @@ pub fn dump_ckks(dir: &Path) {
     rns_limbs(dir, "ckks_conj_b", ct_conj.b());
 }
 
+
+// -- FHEW multi-key: crs -> share gen -> merge -> gate -> threshold decrypt --
+//
+// Fixture: `scheme/fhew/src/fhew/boolean.rs:321-335` — rgsw (log_q=54,
+// log_n=9, log_b=6, d=9), lwe_s (n=100, q=2^16, log_b=4, d=4), w=10;
+// 2 parties. Mirrors tools/pydump/fhew_mk_dump.py: identical SplitMix64
+// stream and sampling order (crs, then all party sks, then pk shares, then
+// per-party key shares, then the gate transcript).
+//
+// Private share structs are dumped via the replay-clone trick used by
+// dump_fhew above: fork the RNG, call the official API on the main stream,
+// re-sample the identical primitives from the fork for the bytes.
+
+const SEED_FHEW_MK: u64 = 0xF4E2_2026_0820;
+const MK_PARTIES: usize = 2;
+
+pub fn dump_fhew_mk(dir: &Path) {
+    probe(dir, "fhew_mk", SEED_FHEW_MK);
+    let p = 4u64;
+    let (log_q, log_n, log_b, d) = (54usize, 9usize, 6usize, 9usize);
+    let q = util::two_adic_primes(log_q, log_n + 1).next().unwrap();
+    let rlwe = RlweParam::new(q, p, log_n).with_decomposor(log_b, d);
+    let rgsw = RgswParam::new(rlwe, log_b, d);
+    let (n_s, q_s, log_b_s, d_s) = (100usize, 1u64 << 16, 4usize, 4usize);
+    let lwe_s = LweParam::new(q_s, p, n_s).with_decomposor(log_b_s, d_s);
+    let param = FhewBootParam::new(rgsw, lwe_s, 10);
+    let n = param.n(); // 512
+    let ts: Vec<i64> = param.ak_t().collect();
+    let w1 = ts.len(); // w + 1
+
+    let mut rng = SplitMixRng::new(SEED_FHEW_MK);
+
+    // crs (`bootstrapping.rs:251-269`): pk poly, n*d_s LWE vectors
+    // (digit-major pairing with power_up(-z).flatten()), (w+1)*d ak polys
+    let mut crs_fork = rng.clone();
+    let crs = FhewBootstrapping::crs_gen(&param, &mut rng);
+    let crs_pk_a = Rq::sample_uniform(q, n, &mut crs_fork);
+    let crs_ksk: Vec<AVec<Zq>> = (0..n * d_s)
+        .map(|_| AVec::sample_uniform(q_s, n_s, &mut crs_fork))
+        .collect();
+    let crs_ak: Vec<Vec<Rq>> = (0..w1)
+        .map(|_| (0..d).map(|_| Rq::sample_uniform(q, n, &mut crs_fork)).collect())
+        .collect();
+    write_npy_u64(&dir.join("fhew_mk_crs_pk_a.npy"), &[n], &rq_u64(&crs_pk_a));
+    let mut ksk_crs_flat = Vec::with_capacity(n * d_s * n_s);
+    for a in &crs_ksk {
+        ksk_crs_flat.extend(a.iter().map(|v| v.to_u64()));
+    }
+    write_npy_u64(&dir.join("fhew_mk_crs_ksk_a.npy"), &[d_s, n, n_s], &ksk_crs_flat);
+    let mut ak_crs_flat = Vec::with_capacity(w1 * d * n);
+    for rows in &crs_ak {
+        for a in rows {
+            ak_crs_flat.extend(rq_u64(a));
+        }
+    }
+    write_npy_u64(&dir.join("fhew_mk_crs_ak_a.npy"), &[w1, d, n], &ak_crs_flat);
+
+    // party secrets, then pk shares, then merged pk (`boolean.rs:340-349` flow)
+    let mut z_forks: Vec<SplitMixRng> = Vec::new();
+    let zs: Vec<_> = (0..MK_PARTIES)
+        .map(|_| {
+            z_forks.push(rng.clone());
+            Rlwe::sk_gen(param.rlwe(), &mut rng)
+        })
+        .collect();
+    let z_raws: Vec<AVec<i64>> = z_forks
+        .iter_mut()
+        .map(|f| AVec::sample(n, dg(3.2, 6), f))
+        .collect();
+    for (pi, z_raw) in z_raws.iter().enumerate() {
+        write_npy_u64(
+            &dir.join(format!("fhew_mk_sk_z{pi}.npy")),
+            &[n],
+            &avec_i64_u64(z_raw),
+        );
+    }
+    let mut pk_share_bs: Vec<Rq> = Vec::new();
+    let pk_shares: Vec<_> = zs
+        .iter()
+        .enumerate()
+        .map(|(pi, z)| {
+            let mut f = rng.clone();
+            let share = Rlwe::pk_share_gen(param.rlwe(), crs.pk(), z, &mut rng);
+            let e = Rq::sample_i64(q, n, dg(3.2, 6), &mut f);
+            let b = &crs_pk_a * &z_raws[pi] + e;
+            write_npy_u64(&dir.join(format!("fhew_mk_pk_share{pi}.npy")), &[n], &rq_u64(&b));
+            pk_share_bs.push(b);
+            share
+        })
+        .collect();
+    let pk = Rlwe::pk_share_merge(param.rlwe(), crs.pk().clone(), pk_shares);
+    let pk_b: Rq = pk_share_bs.iter().sum();
+    write_npy_u64(&dir.join("fhew_mk_pk_b.npy"), &[n], &rq_u64(&pk_b));
+
+    // per-party bootstrap key shares (`bootstrapping.rs:271-293`), replayed
+    // for bytes: s (n_s dg), ksk share (one dg scalar per crs row,
+    // digit-major), brk share (per key bit: 2d pk zero-encrypts, each
+    // u <- zo(0.5), e0, e1 <- dg), ak shares (per t, per digit: dg poly)
+    let decomp = Base2Decomposor::<Zq>::new(q, log_b, d);
+    let decomp_s = Base2Decomposor::<Zq>::new(q_s, log_b_s, d_s);
+    let mut share_brks: Vec<Vec<Vec<(Rq, Rq)>>> = Vec::new();
+    let mut share_ksk_bs: Vec<Vec<Zq>> = Vec::new();
+    let mut share_ak_bs: Vec<Vec<Vec<Rq>>> = Vec::new();
+    let bk_shares: Vec<_> = zs
+        .iter()
+        .enumerate()
+        .map(|(pi, z)| {
+            let mut f = rng.clone();
+            let share = FhewBootstrapping::key_share_gen(&param, &crs, z, &pk, &mut rng);
+            let z_raw = &z_raws[pi];
+            // replay
+            let s_raw: AVec<i64> = AVec::sample(n_s, dg(3.2, 6), &mut f);
+            let mut ksk_b: Vec<Zq> = Vec::with_capacity(n * d_s);
+            for (k, crs_row) in crs_ksk.iter().enumerate() {
+                let digit = k / n;
+                let i = k % n;
+                let bits = decomp_s.log_bases().nth(digit).unwrap();
+                let pt = Zq::from_i64(q_s, -(z_raw[i] << bits));
+                let e = Zq::sample_i64(q_s, dg(3.2, 6), &mut f);
+                let b = crs_row.dot(&s_raw) + pt + e;
+                ksk_b.push(b);
+            }
+            let mut brk: Vec<Vec<(Rq, Rq)>> = Vec::with_capacity(n_s);
+            for sj in s_raw.iter() {
+                let one = &Rq::one(q, n);
+                let pt = one * (X ^ sj);
+                let pt_limbs: Vec<Rq> = decomp.power_up(pt).collect();
+                let mut cts: Vec<(Rq, Rq)> = (0..2 * d)
+                    .map(|_| {
+                        let u: AVec<i64> = AVec::sample(n, zo(0.5), &mut f);
+                        let e0 = Rq::sample_i64(q, n, dg(3.2, 6), &mut f);
+                        let e1 = Rq::sample_i64(q, n, dg(3.2, 6), &mut f);
+                        let a = &crs_pk_a * &u + e0;
+                        let b = &pk_b * &u + e1;
+                        (a, b)
+                    })
+                    .collect();
+                for (i, pt) in pt_limbs.iter().enumerate() {
+                    cts[i].0 += pt;
+                    cts[d + i].1 += pt;
+                }
+                brk.push(cts);
+            }
+            let mut ak_b: Vec<Vec<Rq>> = Vec::with_capacity(w1);
+            for (ti, t) in ts.iter().enumerate() {
+                let z_auto = z_raw.automorphism(*t);
+                let mut rows = Vec::with_capacity(d);
+                for (di, bits) in decomp.log_bases().enumerate() {
+                    let pt: Rq = z_auto.iter().map(|v| Zq::from_i64(q, -(v << bits))).collect();
+                    let e = Rq::sample_i64(q, n, dg(3.2, 6), &mut f);
+                    let b = &crs_ak[ti][di] * z_raw + e + pt;
+                    rows.push(b);
+                }
+                ak_b.push(rows);
+            }
+            // dump the share bytes
+            let mut ksk_flat: Vec<u64> = ksk_b.iter().map(|v| v.to_u64()).collect();
+            write_npy_u64(&dir.join(format!("fhew_mk_ksk_b_share{pi}.npy")), &[d_s, n], &ksk_flat);
+            ksk_flat.clear();
+            let mut brk_flat = Vec::with_capacity(n_s * 2 * d * 2 * n);
+            for rows in &brk {
+                for (a, b) in rows {
+                    brk_flat.extend(rq_u64(a));
+                    brk_flat.extend(rq_u64(b));
+                }
+            }
+            write_npy_u64(&dir.join(format!("fhew_mk_brk_share{pi}.npy")), &[n_s, 2 * d, 2, n], &brk_flat);
+            let mut ak_flat = Vec::with_capacity(w1 * d * n);
+            for rows in &ak_b {
+                for b in rows {
+                    ak_flat.extend(rq_u64(b));
+                }
+            }
+            write_npy_u64(&dir.join(format!("fhew_mk_ak_b_share{pi}.npy")), &[w1, d, n], &ak_flat);
+            share_brks.push(brk);
+            share_ksk_bs.push(ksk_b);
+            share_ak_bs.push(ak_b);
+            share
+        })
+        .collect();
+
+    // official merge (pub API) for the gate evaluation
+    let bk = FhewBootstrapping::key_share_merge(&param, crs, bk_shares);
+
+    // merged key bytes from the replayed shares: ksk/ak sum; brk folds via
+    // the internal-product semantics (`rgsw.rs:130-150`) replicated inline
+    // over the replayed rows (evaluation-basis dot == exact coefficient dot)
+    let merged_ksk: Vec<Zq> = (0..n * d_s)
+        .map(|k| share_ksk_bs.iter().map(|s| s[k]).sum())
+        .collect();
+    write_npy_u64(
+        &dir.join("fhew_mk_ksk_b.npy"),
+        &[d_s, n],
+        &merged_ksk.iter().map(|v| v.to_u64()).collect::<Vec<_>>(),
+    );
+    let ext = |rows: &Vec<(Rq, Rq)>, a: &Rq, b: &Rq| -> (Rq, Rq) {
+        let limbs: Vec<Rq> = decomp.decompose(a).chain(decomp.decompose(b)).collect();
+        let mut oa = Rq::zero(q, n);
+        let mut ob = Rq::zero(q, n);
+        for ((ra, rb), l) in rows.iter().zip(&limbs) {
+            oa += ra * l;
+            ob += rb * l;
+        }
+        (oa, ob)
+    };
+    let mut merged_brk: Vec<Vec<(Rq, Rq)>> = share_brks[0].clone();
+    for pshare in &share_brks[1..] {
+        for j in 0..n_s {
+            merged_brk[j] = pshare[j]
+                .iter()
+                .map(|(a, b)| ext(&merged_brk[j], a, b))
+                .collect();
+        }
+    }
+    let mut brk_flat = Vec::with_capacity(n_s * 2 * d * 2 * n);
+    for rows in &merged_brk {
+        for (a, b) in rows {
+            brk_flat.extend(rq_u64(a));
+            brk_flat.extend(rq_u64(b));
+        }
+    }
+    write_npy_u64(&dir.join("fhew_mk_brk.npy"), &[n_s, 2 * d, 2, n], &brk_flat);
+    write_npy_u64(
+        &dir.join("fhew_mk_ak_t.npy"),
+        &[w1],
+        &ts.iter().map(|&t| t as u64).collect::<Vec<_>>(),
+    );
+
+    // gate transcript: FhewBool::pk_encrypt path (`boolean.rs:27-35`:
+    // RLWE pk-encrypt of the constant poly, sample_extract(0)), nand under
+    // the merged key, per-party threshold decrypt shares
+    let mut ins_flat_a = Vec::new();
+    let mut ins_flat_b = Vec::new();
+    let mut outs: Vec<LweCiphertext> = Vec::new();
+    let mut dec_shares: Vec<u64> = Vec::new();
+    for mp in 0..4u64 {
+        let (m0, m1) = (mp & 1 == 1, (mp >> 1) & 1 == 1);
+        let cts: Vec<LweCiphertext> = [m0, m1]
+            .iter()
+            .map(|&m| {
+                let mc = Rq::constant(Zq::from_bool(p, m), n);
+                let pt = Rlwe::encode(param.rlwe(), mc);
+                let ct = Rlwe::pk_encrypt(param.rlwe(), &pk, pt, &mut rng);
+                Rlwe::sample_extract(param.rlwe(), ct, 0)
+            })
+            .collect();
+        let out = Fhew::nand(&bk, cts[0].clone(), cts[1].clone());
+        for ct in &cts {
+            ins_flat_a.extend(ct.a().iter().map(|v| v.to_u64()));
+            ins_flat_b.push(ct.b().to_u64());
+        }
+        // threshold decrypt (`lwe.rs:184-214`): share = a.z + e per party —
+        // one dg scalar per party, sampled on the main stream (the exact
+        // consumption of Lwe::share_decrypt, whose share struct is private)
+        let mut pt_sum = Zq::from_u64(q, 0);
+        for z_raw in &z_raws {
+            let e = Zq::sample_i64(q, dg(3.2, 6), &mut rng);
+            let share = out.a().dot(z_raw) + e;
+            dec_shares.push(share.to_u64());
+            pt_sum = pt_sum + share;
+        }
+        // sanity: threshold decode == NAND truth
+        let pt = *out.b() - pt_sum;
+        let got = Lwe::decode(param.lwe_z(), fhew::lwe::LwePlaintext(pt));
+        assert_eq!(got.to_u64() == 1, !(m0 & m1), "fhew_mk nand {m0} {m1}");
+        outs.push(out);
+    }
+    write_npy_u64(&dir.join("fhew_mk_gate_in_a.npy"), &[4, 2, n], &ins_flat_a);
+    write_npy_u64(&dir.join("fhew_mk_gate_in_b.npy"), &[8], &ins_flat_b);
+    let mut out_a = Vec::with_capacity(4 * n);
+    let mut out_b = Vec::with_capacity(4);
+    for ct in &outs {
+        out_a.extend(ct.a().iter().map(|v| v.to_u64()));
+        out_b.push(ct.b().to_u64());
+    }
+    write_npy_u64(&dir.join("fhew_mk_gate_nand_out_a.npy"), &[4, n], &out_a);
+    write_npy_u64(&dir.join("fhew_mk_gate_nand_out_b.npy"), &[4], &out_b);
+    write_npy_u64(&dir.join("fhew_mk_gate_dec_shares.npy"), &[4, MK_PARTIES], &dec_shares);
+}
+
 pub fn dump_all(dir: &Path) {
     dump_fhew(dir);
     dump_tfhe(dir);
     dump_ckks(dir);
+    dump_fhew_mk(dir);
     println!("wrote scheme transcripts to {}", dir.display());
 }
