@@ -32,6 +32,26 @@ def trace(log_dir: str):
         yield
 
 
+# Host-side framework event kinds that the CKKS trace (2026-08-20) showed
+# polluting device totals: the profiler records the python-side dispatch and
+# the profiling session's own compile alongside device HLO ops. Excluding
+# them is what makes "device total" honest — the ckks_profile.py traces
+# measured ~835 ms of PjitFunction dispatch wrappers and ~394 ms of
+# backend_compile_and_load around ~4 ms of actual device fusions.
+_HOST_KINDS = frozenset(
+    {
+        "backend_compile_and_load",
+        "np",
+        "lower_sharding_computation",
+        "ExecuteReplicated",
+        "shard_args",
+        "ParseArguments",
+        "TransferToDevice",
+        "TransferFromDevice",
+    }
+)
+
+
 @dataclass(frozen=True)
 class OpStat:
     kind: str  # HLO fusion kind, e.g. "compare_select_fusion", "copy"
@@ -67,6 +87,8 @@ def summarize(log_dir: str, min_count: int = 1) -> list[OpStat]:
         ):
             continue
         kind = name.split(".")[0]
+        if kind in _HOST_KINDS or kind.startswith("PjitFunction"):
+            continue
         tot[kind] += e["dur"]
         cnt[kind] += 1
     return [
