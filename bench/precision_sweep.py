@@ -107,10 +107,11 @@ def main():
     r0, k0 = base.em.r, base.em.k
     VARIANTS["r+1"] = {"force_r": r0 + 1}
     VARIANTS["r+2"] = {"force_r": r0 + 2}
-    # K doubled at PINNED r: isolates K's direct effect (band doubles to
-    # ~2.8 periods — still interpolable at degree 30; the host model floor
-    # stays >40 bits there)
+    # K doubled / halved at PINNED r: isolates K's direct effect (the band
+    # changes to ~2x / ~0.5x periods — still interpolable at degree 30; the
+    # host model floor stays far above the noise wall at these rings)
     VARIANTS["k2x"] = {"force_k": 2 * k0, "force_r": r0}
+    VARIANTS["khalf"] = {"force_k": max(4, k0 // 2), "force_r": r0}
 
     names = [v for v in args.variants.split(",") if v] or list(VARIANTS)
     for name in names:

@@ -39,8 +39,15 @@ def main():
     ap.add_argument("--user-levels", type=int, default=4)
     ap.add_argument("--keygroup", type=int, default=4)
     ap.add_argument("--log-q0", type=int, default=None)
+    ap.add_argument("--log-user", type=int, default=None)
+    ap.add_argument("--log-em", type=int, default=None)
+    ap.add_argument("--chunk-r", type=int, default=None)
     args = ap.parse_args()
-    extra = {} if args.log_q0 is None else {"log_q0": args.log_q0}
+    extra = {}
+    for name in ("log_q0", "log_user", "log_em", "chunk_r"):
+        v = getattr(args, name)
+        if v is not None:
+            extra[name] = v
 
     from learn_fhe_tpu.models.ckks import bootstrapping as B
     from learn_fhe_tpu.models.ckks import ckks as C

@@ -1,0 +1,168 @@
+"""Empirical precision model for the production ladder bootstrap — the
+missing simulator VERDICT r04 item 1(a) ordered: predicted output bits as a
+function of the config knobs (K, r, working-scale bits, q0/user gap, ring
+size), calibrated against MEASURED ladder bootstrap runs and validated
+within ~1 bit before any config is trusted (ARCHITECTURE §20/§22).
+
+Why empirical: the observed noise wall sits ~15-20 bits above first-
+principles rescale/ksk floors (§16), so an analytic model would calibrate
+an unknown constant anyway; the knob SLOPES are what the retune needs, and
+those are measured directly (bench/precision_sweep.py one-knob-at-a-time at
+a small ring + the N=2^10..2^13 family probes for the ring-size slope).
+
+Model form (bits, higher = better):
+
+    bits(cfg) = C0
+              - S_RING * (log_n - 13)        # ring+key+wrap growth along the
+                                             #   production family (K ~ sqrt(N)
+                                             #   is collinear with log_n, so
+                                             #   the family slope absorbs it)
+              - A_R * (r - r_family(log_n))  # extra double-angles vs family
+              + S_EM * (log_em - 58)         # working-scale bits
+              - S_GAP * (log_q0 - log_user - 5)  # q0/user gap bits
+              + U52 * max(0, min(log_user, 52) - 40) / 12  # low-scale-op relief
+
+The constants are fitted in `fit()` from the MEASURED table and the module
+refuses predictions when the residual on any calibration point exceeds
+VALIDATION_TOL bits.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+# -- measured calibration data (see ARCHITECTURE §20/§22 for provenance) -----
+#
+# Family probes: bench/production_bootstrap_probe.py --log-n {10,11,12,13},
+# defaults (amp 0.3, user_levels 4 except 2^13 r04 run), CPU, 2026-08-20.
+# Each entry: (log_n, r, K, log_em, gap_bits, log_user, measured_bits)
+FAMILY_RUNS = [
+    (10, 5, 40, 58, 5, 40, 22.8),
+    (11, 5, 56, 58, 5, 40, 21.3),
+    (12, 6, 79, 58, 5, 40, 18.9),
+    (13, 6, 111, 58, 5, 40, 17.9),
+]
+
+# Sensitivity sweep at log_n=6 (bench/precision_sweep.py): filled in from
+# /tmp/precision_sweep_6.log; one-knob deltas vs the sweep's own base.
+SWEEP_BASE_BITS: float | None = None  # set by record_sweep()
+SWEEP_DELTAS: dict[str, float] = {}
+
+VALIDATION_TOL = 1.2  # bits
+
+
+def r_family(log_n: int, sigma_mult: float = 6.0) -> int:
+    """The double-angle count the production family derives at log_n
+    (production.py: K = 6*sqrt(h/12), h = N/2, r = ceil(log2((K+1)/2)))."""
+    h = (1 << log_n) // 2
+    k = max(4, math.ceil(sigma_mult * math.sqrt(h / 12.0)))
+    return max(3, math.ceil(math.log2((k + 1) / 2.0)))
+
+
+@dataclass(frozen=True)
+class PrecisionModel:
+    c0: float  # bits at the (log_n=13, family-r, em58, gap5, user40) anchor
+    s_ring: float  # bits lost per log_n step along the family
+    a_r: float  # bits lost per extra double-angle at fixed ring
+    s_em: float  # bits gained per working-scale bit
+    s_gap: float  # bits lost per q0/user gap bit
+    u52: float  # bits gained raising log_user 40 -> 52 (low-scale-op relief)
+
+    def predict(
+        self,
+        log_n: int,
+        r: int | None = None,
+        log_em: int = 58,
+        log_q0: int = 45,
+        log_user: int = 40,
+    ) -> float:
+        r = r if r is not None else r_family(log_n)
+        gap = log_q0 - log_user
+        return (
+            self.c0
+            - self.s_ring * (log_n - 13)
+            - self.a_r * (r - r_family(log_n))
+            + self.s_em * (log_em - 58)
+            - self.s_gap * (gap - 5)
+            + self.u52 * max(0.0, min(log_user, 52) - 40) / 12.0
+        )
+
+    def residuals(self) -> list[tuple[str, float]]:
+        out = []
+        for log_n, r, _k, em, gap, lu, bits in FAMILY_RUNS:
+            pred = self.predict(log_n, r=r, log_em=em, log_q0=lu + gap, log_user=lu)
+            out.append((f"family_n{log_n}", pred - bits))
+        return out
+
+    def validated(self) -> bool:
+        return all(abs(d) <= VALIDATION_TOL for _, d in self.residuals())
+
+
+def fit(
+    a_r: float | None = None,
+    s_em: float | None = None,
+    s_gap: float | None = None,
+    u52: float | None = None,
+) -> PrecisionModel:
+    """Fit the ring slope + anchor from the family runs (least squares along
+    log_n, using each run's actual r), taking the knob slopes from the
+    measured sweep deltas (or explicit overrides)."""
+    a_r = a_r if a_r is not None else _slope_from_sweep("r+1", "r+2", default=1.15)
+    s_em = s_em if s_em is not None else _em_slope(default=1.0)
+    s_gap = s_gap if s_gap is not None else _gap_slope(default=1.0)
+    u52 = u52 if u52 is not None else SWEEP_DELTAS.get("user52", 0.0)
+
+    # family: bits + a_r*(r - r_family) = c0 - s_ring*(log_n - 13)
+    xs, ys = [], []
+    for log_n, r, _k, _em, _gap, _lu, bits in FAMILY_RUNS:
+        xs.append(log_n - 13)
+        ys.append(bits + a_r * (r - r_family(log_n)))
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    s_ring = -sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    c0 = my + s_ring * mx * -1.0  # c0 = mean(y) + s_ring*mean(x)... anchor at x=0
+    c0 = my + s_ring * mx
+    return PrecisionModel(c0=c0, s_ring=s_ring, a_r=a_r, s_em=s_em, s_gap=s_gap, u52=u52)
+
+
+def _slope_from_sweep(k1: str, k2: str, default: float) -> float:
+    d1, d2 = SWEEP_DELTAS.get(k1), SWEEP_DELTAS.get(k2)
+    if d1 is None:
+        return default
+    if d2 is None:
+        return -d1
+    return -(d1 + d2 / 2.0) / 2.0  # average per-step loss over +1/+2
+
+
+def _em_slope(default: float) -> float:
+    up, dn = SWEEP_DELTAS.get("em60"), SWEEP_DELTAS.get("em56")
+    vals = []
+    if up is not None:
+        vals.append(up / 2.0)
+    if dn is not None:
+        vals.append(-dn / 2.0)
+    return sum(vals) / len(vals) if vals else default
+
+
+def _gap_slope(default: float) -> float:
+    g3, g7 = SWEEP_DELTAS.get("gap3"), SWEEP_DELTAS.get("gap7")
+    vals = []
+    if g3 is not None:
+        vals.append(g3 / 2.0)
+    if g7 is not None:
+        vals.append(-g7 / 2.0)
+    return sum(vals) / len(vals) if vals else default
+
+
+def record_sweep(records: list[dict]) -> None:
+    """Ingest bench/precision_sweep.py JSON lines: sets SWEEP_BASE_BITS and
+    the per-variant deltas."""
+    global SWEEP_BASE_BITS
+    base = next(r for r in records if r.get("variant") == "base")
+    SWEEP_BASE_BITS = base["bits"]
+    for r in records:
+        if "bits" in r and r["variant"] != "base":
+            SWEEP_DELTAS[r["variant"]] = r["bits"] - base["bits"]

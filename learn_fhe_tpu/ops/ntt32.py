@@ -318,7 +318,7 @@ def _rk_fwd(out, batch, n, q, plan, layer, width):
         xs = new
     if _BARRIER:
         xs = list(lax.optimization_barrier(tuple(xs)))
-    return jnp.stack(xs, axis=-2).reshape(*batch, n)
+    return _recombine(xs, batch, n)
 
 
 def _i_twiddle(w: np.ndarray, m: int, t: int, width: int) -> np.ndarray:
@@ -384,6 +384,70 @@ def _rk_inv_i(out, batch, n, q, plan, layer, width):
     return x.reshape(*batch, n)
 
 
+def _recombine(xs, batch, n):
+    """Final recombine of the R butterfly slices. Default: jnp.stack (lowered
+    by XLA to a DUS chain, ARCHITECTURE §19). FHE_TPU_NTT32_CONCAT=1 emits an
+    explicit lax-concatenate of the slices instead (VERDICT r04 item 7's
+    first untested reformulation)."""
+    if _CONCAT:
+        return jnp.concatenate([p[..., None, :] for p in xs], axis=-2).reshape(
+            *batch, n
+        )
+    return jnp.stack(xs, axis=-2).reshape(*batch, n)
+
+
+def _rk_fwd_p(out, batch, n, q, plan, layer, width):
+    """Pair-stack fused DIT pass (FHE_TPU_NTT32_PAIRSTACK): same math as
+    `_rk_fwd`, but the butterflies stay in ONE array — each sub-layer views
+    the R axis as (2^t, 2, half) and recombines with a single 2-wide
+    jnp.stack, instead of slicing into R pieces and stacking all R at the
+    end. Targets the §19 DUS read amplification by giving XLA stacks of 2
+    (one concat of equal halves) per sub-layer rather than one R-piece DUS
+    chain per pass; the cost is that sub-layers may materialize (width
+    memory sweeps instead of one)."""
+    m = 1 << layer
+    R = 1 << width
+    rest = n >> (layer + width)
+    x = out.reshape(*batch, m, R, rest)
+    for t in range(width):
+        g = 1 << t
+        half = R >> (t + 1)
+        w = plan.psi_br[(m << t) : (m << (t + 1))].reshape(m, g, 1, 1)
+        ws = plan.psi_br_shoup[(m << t) : (m << (t + 1))].reshape(m, g, 1, 1)
+        xv = x.reshape(*batch, m, g, 2, half, rest)
+        u = xv[..., 0, :, :]
+        v = xv[..., 1, :, :]
+        tv = mul_shoup32(v, w, ws, q)
+        x = jnp.stack(
+            [add_mod32(u, tv, q), sub_mod32(u, tv, q)], axis=-3
+        ).reshape(*batch, m, R, rest)
+    return x.reshape(*batch, n)
+
+
+def _rk_inv_p(out, batch, n, q, plan, layer, width):
+    """Pair-stack fused GS (inverse) pass: mirror of `_rk_fwd_p`."""
+    m = 1 << layer
+    R = 1 << width
+    rest = n >> (layer + width)
+    x = out.reshape(*batch, m, R, rest)
+    for t in reversed(range(width)):
+        g = 1 << t
+        half = R >> (t + 1)
+        wi = plan.psi_inv_br[(m << t) : (m << (t + 1))].reshape(m, g, 1, 1)
+        wis = plan.psi_inv_br_shoup[(m << t) : (m << (t + 1))].reshape(m, g, 1, 1)
+        xv = x.reshape(*batch, m, g, 2, half, rest)
+        u = xv[..., 0, :, :]
+        v = xv[..., 1, :, :]
+        x = jnp.stack(
+            [
+                add_mod32(u, v, q),
+                mul_shoup32(sub_mod32(u, v, q), wi, wis, q),
+            ],
+            axis=-3,
+        ).reshape(*batch, m, R, rest)
+    return x.reshape(*batch, n)
+
+
 def _rk_inv(out, batch, n, q, plan, layer, width):
     """Generic fused GS (inverse) pass: exact mirror of `_rk_fwd` (layers
     processed top-down), element-identical to the hand radix-4/8 passes."""
@@ -409,7 +473,7 @@ def _rk_inv(out, batch, n, q, plan, layer, width):
         xs = new
     if _BARRIER:
         xs = list(lax.optimization_barrier(tuple(xs)))
-    return jnp.stack(xs, axis=-2).reshape(*batch, n)
+    return _recombine(xs, batch, n)
 
 
 def _fs_limbs_dev(x: jnp.ndarray, q: int) -> list:
@@ -689,6 +753,26 @@ if _BARRIER and _INTERLEAVE:
 if _BARRIER:
     _FWD_PASS = {w: (lambda *a, _w=w: _rk_fwd(*a, _w)) for w in (1, 2, 3, 4, 5)}
     _INV_PASS = {w: (lambda *a, _w=w: _rk_inv(*a, _w)) for w in (1, 2, 3, 4, 5)}
+
+# Pair-stack pass formulation (VERDICT r04 item 7, the second of the two
+# reformulations not yet measured against the §19 DUS wall): one array
+# throughout, a 2-wide stack per sub-layer instead of one R-piece stack per
+# pass. Mutually exclusive with the other pass-table remaps.
+_CONCAT = os.environ.get("FHE_TPU_NTT32_CONCAT", "0") == "1"
+_PAIRSTACK = os.environ.get("FHE_TPU_NTT32_PAIRSTACK", "0") == "1"
+if _CONCAT and not (_BARRIER or _INTERLEAVE or _PAIRSTACK):
+    # concat only changes the recombine inside the generic passes; route the
+    # hand radix widths through them so it applies everywhere
+    _FWD_PASS = {w: (lambda *a, _w=w: _rk_fwd(*a, _w)) for w in (1, 2, 3, 4, 5)}
+    _INV_PASS = {w: (lambda *a, _w=w: _rk_inv(*a, _w)) for w in (1, 2, 3, 4, 5)}
+if _PAIRSTACK and (_BARRIER or _INTERLEAVE):
+    raise RuntimeError(
+        "FHE_TPU_NTT32_PAIRSTACK is mutually exclusive with "
+        "FHE_TPU_NTT32_BARRIER/INTERLEAVE; set exactly one"
+    )
+if _PAIRSTACK:
+    _FWD_PASS = {w: (lambda *a, _w=w: _rk_fwd_p(*a, _w)) for w in (1, 2, 3, 4, 5)}
+    _INV_PASS = {w: (lambda *a, _w=w: _rk_inv_p(*a, _w)) for w in (1, 2, 3, 4, 5)}
 
 
 # A/B toggle for the fused-pointwise polymul. Default OFF: on-chip A/B

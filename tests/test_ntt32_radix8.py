@@ -147,3 +147,46 @@ def test_barrier_polymul_matches_default(monkeypatch):
     )
     got = np.asarray(jax.jit(lambda x, y: ntt32.negacyclic_mul32(x, y, plan))(a, b))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("width", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("log_n", [4, 7, 11])
+def test_pairstack_pass_matches_default(width, log_n):
+    """The pair-stack formulation (`_rk_fwd_p`/`_rk_inv_p`,
+    FHE_TPU_NTT32_PAIRSTACK — one array throughout, a 2-wide stack per
+    sub-layer instead of one R-piece stack per pass; VERDICT r04 item 7) is
+    element-identical to the slice+stack passes."""
+    if width > log_n:
+        pytest.skip("pass wider than the transform")
+    n = 1 << log_n
+    q = next(two_adic_primes(30, log_n + 1))
+    plan = ntt32.ntt32_plan(q, n)
+    rng = np.random.default_rng(width * 31 + log_n)
+    x = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    for layer in range(0, log_n - width + 1, max(1, width)):
+        args = (x, (3,), n, q, plan, layer, width)
+        np.testing.assert_array_equal(
+            np.asarray(ntt32._rk_fwd_p(*args)), np.asarray(ntt32._rk_fwd(*args))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ntt32._rk_inv_p(*args)), np.asarray(ntt32._rk_inv(*args))
+        )
+
+
+def test_concat_recombine_matches_stack(monkeypatch):
+    """FHE_TPU_NTT32_CONCAT replaces the final jnp.stack recombine with an
+    explicit concatenate of the slices — value-identical by construction."""
+    log_n, width = 9, 3
+    n = 1 << log_n
+    q = next(two_adic_primes(30, log_n + 1))
+    plan = ntt32.ntt32_plan(q, n)
+    rng = np.random.default_rng(93)
+    x = rng.integers(0, q, size=(3, n), dtype=np.uint32)
+    for layer in (0, 3, 6):
+        args = (x, (3,), n, q, plan, layer, width)
+        want_f = np.asarray(ntt32._rk_fwd(*args))
+        want_i = np.asarray(ntt32._rk_inv(*args))
+        monkeypatch.setattr(ntt32, "_CONCAT", True)
+        np.testing.assert_array_equal(np.asarray(ntt32._rk_fwd(*args)), want_f)
+        np.testing.assert_array_equal(np.asarray(ntt32._rk_inv(*args)), want_i)
+        monkeypatch.setattr(ntt32, "_CONCAT", False)
