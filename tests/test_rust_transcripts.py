@@ -144,6 +144,130 @@ def test_fhew_gate_transcript_parity(fhew_setup):
             assert bool(dec) == fn(bool(m0), bool(m1)), (name, i)
 
 
+# -- FHEW multi-key ----------------------------------------------------------
+
+needs_mk_transcripts = pytest.mark.skipif(
+    not os.path.isfile(os.path.join(DUMP_DIR, "fhew_mk_rng_probe.npy")),
+    reason="no multi-key transcript dump present (python tools/pydump/"
+    "fhew_mk_dump.py, ~20 min one-time, or tools/rust-dump with cargo)",
+)
+
+
+@pytest.fixture(scope="module")
+def fhew_mk_setup():
+    """The reference's multi-key fixture (`boolean.rs:321-335`): q ~ 2^54 NTT
+    prime, N = 2^9, B = 2^6, d = 9; LWE n = 100, q_ks = 2^16, B = 2^4,
+    d = 4; w = 10; 2 parties."""
+    from learn_fhe_tpu.models.fhew import (
+        BootstrapParams,
+        LweParams,
+        RgswParams,
+        RlweParams,
+    )
+    from learn_fhe_tpu.utils.primes import two_adic_primes
+
+    q = next(two_adic_primes(54, 10))
+    rlwe_p = RlweParams(q=q, p=4, log_n=9, log_b=6, d=9)
+    return BootstrapParams(
+        RgswParams(rlwe_p, log_b=6, d=9),
+        LweParams(q=1 << 16, p=4, n=100, log_b=4, d=4),
+        w=10,
+    )
+
+
+@needs_mk_transcripts
+def test_fhew_mk_merge_transcript_parity(fhew_mk_setup):
+    """The last reference protocol without independent-lineage verification
+    (`scheme/fhew/src/bootstrapping.rs:251-321`): dumped crs + per-party key
+    shares -> OUR key_share_merge must reproduce the oracle's merged
+    bootstrap key (brk via RGSW internal products, ksk/ak share sums)
+    bit-for-bit, and a NAND gate evaluated under OUR merged key must
+    reproduce the oracle's output ciphertexts bit-for-bit, closing with a
+    threshold decrypt through OUR decryption_share_merge."""
+    import jax.numpy as jnp
+
+    from learn_fhe_tpu.models.fhew import gates, lwe, rgsw
+    from learn_fhe_tpu.models.fhew.bootstrapping import (
+        BootstrapCrs,
+        BootstrapKeyShare,
+        key_share_merge,
+    )
+    from learn_fhe_tpu.models.fhew.lwe import LweCiphertext
+    from learn_fhe_tpu.models.fhew.rgsw import RgswCiphertext
+
+    params = fhew_mk_setup
+    n, d = params.n, params.rgsw.gadget.d  # 512, 9
+    d_s, n_s, n_parties = 4, 100, 2
+    np.testing.assert_array_equal(_i64("fhew_mk_ak_t"), np.asarray(params.ak_t))
+
+    crs = BootstrapCrs(
+        jnp.asarray(_load("fhew_mk_crs_pk_a")),
+        jnp.asarray(_load("fhew_mk_crs_ksk_a").reshape(d_s, n, n_s)),
+        jnp.asarray(_load("fhew_mk_crs_ak_a").reshape(params.w + 1, d, n)),
+    )
+    shares = []
+    for p in range(n_parties):
+        brk_raw = _load(f"fhew_mk_brk_share{p}").reshape(n_s, 2 * d, 2, n)
+        shares.append(
+            BootstrapKeyShare(
+                jnp.asarray(_load(f"fhew_mk_ksk_b_share{p}").reshape(d_s, n)),
+                RgswCiphertext(
+                    jnp.asarray(brk_raw[:, :, 0]), jnp.asarray(brk_raw[:, :, 1])
+                ),
+                jnp.asarray(_load(f"fhew_mk_ak_b_share{p}").reshape(params.w + 1, d, n)),
+            )
+        )
+
+    # the brk fold at the coefficient level, through the library's own
+    # internal product (`rgsw.rs:130-150` semantics), vs the oracle's merge
+    key_ev = rgsw.to_eval(params.rgsw, shares[0].brk)
+    merged = rgsw.internal_product(params.rgsw, key_ev, shares[1].brk)
+    ref_brk = _load("fhew_mk_brk").reshape(n_s, 2 * d, 2, n)
+    np.testing.assert_array_equal(np.asarray(merged.a), ref_brk[:, :, 0])
+    np.testing.assert_array_equal(np.asarray(merged.b), ref_brk[:, :, 1])
+
+    # merged LWE ksk b-rows are share sums over q_ks
+    ksk = lwe.ksk_share_merge(
+        params.lwe_s, crs.ksk_a, (s.ksk_b for s in shares)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ksk.b), _load("fhew_mk_ksk_b").reshape(d_s, n)
+    )
+
+    # the REAL merge entry point, end to end: gate outputs under our merged
+    # key must be the oracle's ciphertexts bit-for-bit
+    bk = key_share_merge(params, crs, shares)
+    z_sum = sum(_i64(f"fhew_mk_sk_z{p}") for p in range(n_parties))
+    in_a = _load("fhew_mk_gate_in_a").reshape(4, 2, n)
+    in_b = _load("fhew_mk_gate_in_b").reshape(4, 2)
+    out_a = _load("fhew_mk_gate_nand_out_a").reshape(4, n)
+    out_b = _load("fhew_mk_gate_nand_out_b")
+    dec_sh = _load("fhew_mk_gate_dec_shares").reshape(4, n_parties)
+    for i in range(4):
+        m0, m1 = i & 1, (i >> 1) & 1
+        cts = []
+        for j, m in enumerate((m0, m1)):
+            ct = LweCiphertext(jnp.asarray(in_a[i, j]), jnp.asarray(in_b[i, j]))
+            got = np.asarray(
+                gates.decode_bool(params, lwe.decrypt(params.lwe_z, z_sum, ct))
+            )
+            assert bool(got) == bool(m), (i, j)
+            cts.append(ct)
+        out = gates.gate(params, bk, "nand", cts[0], cts[1])
+        np.testing.assert_array_equal(np.asarray(out.a), out_a[i])
+        assert int(np.asarray(out.b)) == int(out_b[i]), i
+        # threshold decrypt: the oracle's per-party noisy shares through OUR
+        # decryption_share_merge must decode to the NAND truth
+        pt = lwe.decryption_share_merge(
+            params.lwe_z,
+            out.b,
+            (jnp.asarray(dec_sh[i, p]) for p in range(n_parties)),
+        )
+        assert bool(np.asarray(gates.decode_bool(params, pt))) == (
+            not (m0 and m1)
+        ), i
+
+
 # -- TFHE --------------------------------------------------------------------
 
 
