@@ -44,8 +44,25 @@ FAMILY_RUNS = [
     (13, 6, 111, 58, 5, 40, 17.9),
 ]
 
-# Sensitivity sweep at log_n=6 (bench/precision_sweep.py): filled in from
-# /tmp/precision_sweep_6.log; one-knob deltas vs the sweep's own base.
+# Sensitivity sweep at log_n=10 (bench/precision_sweep.py --log-n 10,
+# 2026-08-20). The ring matters: at log_n=6 the arcsin-quintic MODEL FLOOR
+# (~23-25 bits, scale-invariant) binds instead of the noise wall, so knob
+# deltas measured there are contaminated; N=2^10 (wall ~23 vs floor ~29) is
+# the smallest noise-bound sweep ring. Measured one-knob deltas vs base:
+#
+#   base   (em58, gap5, user40):       23.09 bits
+#   user52 (log_user 52, log_q0 57):   29.18 bits  (+6.09 — the noise wall
+#          is dominated by ops at the LOW user/q0 landing scale, not the
+#          58-bit EvalMod chain)
+#   em60   (log_em 60):                19.43 bits  (-3.66 — BIGGER EvalMod
+#          primes LOSE: the EvalMod band's rescale rounding is proportional
+#          to the prime size while the coefficient amplitude is fixed, so
+#          raising log_em raises the wall faster than it raises headroom)
+SWEEP_RUNS = [
+    ("base", 23.09),
+    ("user52", 29.18),
+    ("em60", 19.43),
+]
 SWEEP_BASE_BITS: float | None = None  # set by record_sweep()
 SWEEP_DELTAS: dict[str, float] = {}
 
@@ -166,3 +183,7 @@ def record_sweep(records: list[dict]) -> None:
     for r in records:
         if "bits" in r and r["variant"] != "base":
             SWEEP_DELTAS[r["variant"]] = r["bits"] - base["bits"]
+
+
+# default-populate from the committed N=2^10 sweep table
+record_sweep([{"variant": n, "bits": b} for n, b in SWEEP_RUNS])
