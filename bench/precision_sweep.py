@@ -78,8 +78,14 @@ VARIANTS = {
     "base": {},
     "em60": {"log_em": 60},
     "em56": {"log_em": 56},
+    "em54": {"log_em": 54},
+    "em52": {"log_em": 52},
     "gap3": {"log_q0": 43},
     "gap7": {"log_q0": 47},
+    # combined candidates for the flagship retune (ARCHITECTURE §22)
+    "user52em56": {"log_user": 52, "log_q0": 57, "log_em": 56},
+    "user52em54": {"log_user": 52, "log_q0": 57, "log_em": 54},
+    "user52em54gap3": {"log_user": 52, "log_q0": 55, "log_em": 54},
     "r+1": {"force_r": None},  # filled per-ring below
     "r+2": {"force_r": None},
     "deg60": {"cheb_degree": 60},

@@ -18,7 +18,8 @@ Model form (bits, higher = better):
                                              #   is collinear with log_n, so
                                              #   the family slope absorbs it)
               - A_R * (r - r_family(log_n))  # extra double-angles vs family
-              + S_EM * (log_em - 58)         # working-scale bits
+              + em_term(log_em)              # KINK at 58: S_EM_UP*(em-58)
+                                             #   above, S_EM_DN*(58-em) below
               - S_GAP * (log_q0 - log_user - 5)  # q0/user gap bits
               + U52 * max(0, min(log_user, 52) - 40) / 12  # low-scale-op relief
 
@@ -58,10 +59,15 @@ FAMILY_RUNS = [
 #          primes LOSE: the EvalMod band's rescale rounding is proportional
 #          to the prime size while the coefficient amplitude is fixed, so
 #          raising log_em raises the wall faster than it raises headroom)
+#   em56   (log_em 56):                23.40 bits  (+0.31 — the response is
+#          a KINK, not a line: at 58 the em-band rescale term is already
+#          below the dominant landing-scale noise, so lowering buys almost
+#          nothing while raising costs ~1.8 bits/bit)
 SWEEP_RUNS = [
     ("base", 23.09),
     ("user52", 29.18),
     ("em60", 19.43),
+    ("em56", 23.40),
 ]
 SWEEP_BASE_BITS: float | None = None  # set by record_sweep()
 SWEEP_DELTAS: dict[str, float] = {}
@@ -82,7 +88,8 @@ class PrecisionModel:
     c0: float  # bits at the (log_n=13, family-r, em58, gap5, user40) anchor
     s_ring: float  # bits lost per log_n step along the family
     a_r: float  # bits lost per extra double-angle at fixed ring
-    s_em: float  # bits gained per working-scale bit
+    s_em_up: float  # bits LOST per em bit above 58 (measured -1.83/bit)
+    s_em_dn: float  # bits gained per em bit below 58 (measured +0.155/bit)
     s_gap: float  # bits lost per q0/user gap bit
     u52: float  # bits gained raising log_user 40 -> 52 (low-scale-op relief)
 
@@ -96,11 +103,17 @@ class PrecisionModel:
     ) -> float:
         r = r if r is not None else r_family(log_n)
         gap = log_q0 - log_user
+        # the em response is a KINK at 58 (measured: em60 -3.66, em56 +0.31)
+        em_term = (
+            self.s_em_up * (log_em - 58)
+            if log_em >= 58
+            else self.s_em_dn * (58 - log_em)
+        )
         return (
             self.c0
             - self.s_ring * (log_n - 13)
             - self.a_r * (r - r_family(log_n))
-            + self.s_em * (log_em - 58)
+            + em_term
             - self.s_gap * (gap - 5)
             + self.u52 * max(0.0, min(log_user, 52) - 40) / 12.0
         )
@@ -118,7 +131,8 @@ class PrecisionModel:
 
 def fit(
     a_r: float | None = None,
-    s_em: float | None = None,
+    s_em_up: float | None = None,
+    s_em_dn: float | None = None,
     s_gap: float | None = None,
     u52: float | None = None,
 ) -> PrecisionModel:
@@ -126,7 +140,10 @@ def fit(
     log_n, using each run's actual r), taking the knob slopes from the
     measured sweep deltas (or explicit overrides)."""
     a_r = a_r if a_r is not None else _slope_from_sweep("r+1", "r+2", default=1.15)
-    s_em = s_em if s_em is not None else _em_slope(default=1.0)
+    up = SWEEP_DELTAS.get("em60")
+    s_em_up = s_em_up if s_em_up is not None else (up / 2.0 if up is not None else -1.0)
+    dn = SWEEP_DELTAS.get("em56")
+    s_em_dn = s_em_dn if s_em_dn is not None else (dn / 2.0 if dn is not None else 0.0)
     s_gap = s_gap if s_gap is not None else _gap_slope(default=1.0)
     u52 = u52 if u52 is not None else SWEEP_DELTAS.get("user52", 0.0)
 
@@ -140,9 +157,11 @@ def fit(
     s_ring = -sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
         (x - mx) ** 2 for x in xs
     )
-    c0 = my + s_ring * mx * -1.0  # c0 = mean(y) + s_ring*mean(x)... anchor at x=0
-    c0 = my + s_ring * mx
-    return PrecisionModel(c0=c0, s_ring=s_ring, a_r=a_r, s_em=s_em, s_gap=s_gap, u52=u52)
+    c0 = my + s_ring * mx  # anchor at x = 0 (log_n = 13)
+    return PrecisionModel(
+        c0=c0, s_ring=s_ring, a_r=a_r, s_em_up=s_em_up, s_em_dn=s_em_dn,
+        s_gap=s_gap, u52=u52,
+    )
 
 
 def _slope_from_sweep(k1: str, k2: str, default: float) -> float:
@@ -152,16 +171,6 @@ def _slope_from_sweep(k1: str, k2: str, default: float) -> float:
     if d2 is None:
         return -d1
     return -(d1 + d2 / 2.0) / 2.0  # average per-step loss over +1/+2
-
-
-def _em_slope(default: float) -> float:
-    up, dn = SWEEP_DELTAS.get("em60"), SWEEP_DELTAS.get("em56")
-    vals = []
-    if up is not None:
-        vals.append(up / 2.0)
-    if dn is not None:
-        vals.append(-dn / 2.0)
-    return sum(vals) / len(vals) if vals else default
 
 
 def _gap_slope(default: float) -> float:

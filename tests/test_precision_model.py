@@ -39,6 +39,9 @@ def test_knob_responses_match_sweep():
     # em60 LOSES (measured -3.66): bigger EvalMod primes raise the wall
     down = m.predict(10, log_em=60) - base
     assert down < -2.0, down
+    # ...but the response is a kink: em56 is nearly flat (measured +0.31)
+    dn = m.predict(10, log_em=56) - base
+    assert abs(dn - P.SWEEP_DELTAS["em56"]) < 0.1, dn
     # gap bits are ~1:1 precision (production.py mini measurement)
     g = m.predict(10, log_q0=43) - base
     assert 1.0 <= g <= 3.0, g
