@@ -146,10 +146,12 @@ def test_fhew_gate_transcript_parity(fhew_setup):
 
 # -- FHEW multi-key ----------------------------------------------------------
 
+# the brk transcripts (3 x 14.7 MB) are regenerable and kept out of git:
+# `make parity` (= python tools/pydump/fhew_mk_dump.py, ~8 min, one-time)
 needs_mk_transcripts = pytest.mark.skipif(
-    not os.path.isfile(os.path.join(DUMP_DIR, "fhew_mk_rng_probe.npy")),
-    reason="no multi-key transcript dump present (python tools/pydump/"
-    "fhew_mk_dump.py, ~20 min one-time, or tools/rust-dump with cargo)",
+    not os.path.isfile(os.path.join(DUMP_DIR, "fhew_mk_brk.npy")),
+    reason="multi-key transcript brk material absent — regenerate with "
+    "`make parity` (~8 min, one-time per checkout)",
 )
 
 
