@@ -32,7 +32,12 @@ def run_variant(name: str, log_n: int, amp: float, seed: int, **kw) -> dict:
     from learn_fhe_tpu.models.ckks import evalmod as E
     from learn_fhe_tpu.models.ckks.production import ProductionConfig, eval_mod_levels
 
-    cfg = ProductionConfig(log_n=log_n, user_levels=2, chunk_r=5, **kw)
+    # the sweep's base is pinned to the r04 knobs the committed calibration
+    # data (precision.py SWEEP_RUNS) was measured against — NOT the current
+    # production defaults (which the r05 retune moved to the user52 side)
+    cfg = ProductionConfig(
+        log_n=log_n, user_levels=2, chunk_r=5, **{**LEGACY_BASE, **kw}
+    )
     params = cfg.params
     rng = np.random.default_rng(seed)
     t0 = time.time()
@@ -74,6 +79,8 @@ def run_variant(name: str, log_n: int, amp: float, seed: int, **kw) -> dict:
     return rec
 
 
+LEGACY_BASE = {"log_q0": 45, "log_em": 58, "log_user": 40}
+
 VARIANTS = {
     "base": {},
     "em60": {"log_em": 60},
@@ -109,7 +116,9 @@ def main():
 
     from learn_fhe_tpu.models.ckks.production import ProductionConfig
 
-    base = ProductionConfig(log_n=args.log_n, user_levels=2, chunk_r=5)
+    base = ProductionConfig(
+        log_n=args.log_n, user_levels=2, chunk_r=5, **LEGACY_BASE
+    )
     r0, k0 = base.em.r, base.em.k
     VARIANTS["r+1"] = {"force_r": r0 + 1}
     VARIANTS["r+2"] = {"force_r": r0 + 2}

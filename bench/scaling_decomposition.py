@@ -33,9 +33,15 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
+# match the OPERATION on the right of '=', not the instruction name: XLA
+# CPU renames some collective instructions (e.g. the shard_map NTT's
+# ppermutes become '%name = u32[..] collective-permute(..)'), so keying on
+# the auto-name '%collective-permute.N' undercounts (measured: the coef32
+# NTT showed 0 collectives under the old regex, 3 under this one).
 COLLECTIVE_RE = re.compile(
-    r"%?(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
-    r"[^=]*=\s*\(?([a-z0-9]+)\[([0-9,]*)\]"
+    r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\][^\n]*?"
+    r"\b(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
+    r"(?:-start)?\("
 )
 DTYPE_BYTES = {"u8": 1, "u16": 2, "u32": 4, "u64": 8, "s32": 4, "s64": 8,
                "f32": 4, "f64": 8, "pred": 1, "c64": 8, "c128": 16}
@@ -45,7 +51,7 @@ def collective_stats(hlo_text: str) -> dict:
     counts: dict = {}
     bytes_total = 0
     for m in COLLECTIVE_RE.finditer(hlo_text):
-        kind, dtype, shape = m.groups()
+        dtype, shape, kind = m.groups()
         counts[kind] = counts.get(kind, 0) + 1
         n = 1
         for s in shape.split(","):

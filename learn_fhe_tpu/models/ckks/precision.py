@@ -72,6 +72,43 @@ SWEEP_RUNS = [
 SWEEP_BASE_BITS: float | None = None  # set by record_sweep()
 SWEEP_DELTAS: dict[str, float] = {}
 
+# Retuned-family probes (the r05 flagship knobs: user52 + gap3 + em56,
+# user_levels=4, 2026-08-20): bench/production_bootstrap_probe.py
+# --log-n {10,12} --log-user 52 --log-q0 55 --log-em 56. Bootstrap bits:
+#
+#   N=2^10: 25.6 (23.0 after 4 user squarings)
+#   N=2^12: 24.6 (22.6 after 4 user squarings)
+#
+# The raised landing scale FLATTENS the ring slope to 0.5 bits/log_n step
+# (vs the base family's 1.68): the base slope was dominated by the fixed
+# absolute landing noise measured against the amp/sqrt(l) coefficient
+# amplitude, and user52 lifts that wall, leaving only amplitude/wrap
+# growth. This flattening is what makes >= 20 bits reachable at N=2^16.
+# Knob composition is NOT additive between the ul2 sweep and ul4 probes
+# (user52's +6.09 at gap5/ul2 shrinks when combined with gap3 at ul4 —
+# the knobs relieve overlapping noise terms); the retuned family is
+# therefore extrapolated from its OWN two-ring slope, not from summed
+# sweep deltas. Cross-checks at ul4/ring10: chunk_r=8 variant 26.6 bits
+# (6.9x CtS cost — rejected on speed), alpha=1 variant 25.0 bits
+# (dnum-30 ksk noise — rejected).
+RETUNED_RUNS = [
+    (10, 25.6),
+    (12, 24.6),
+]
+
+
+def retuned_slope() -> float:
+    """Measured ring slope of the retuned flagship family (bits/log_n)."""
+    (n0, b0), (n1, b1) = RETUNED_RUNS[0], RETUNED_RUNS[-1]
+    return (b0 - b1) / (n1 - n0)
+
+
+def predict_flagship(log_n: int = 16) -> float:
+    """Extrapolated bootstrap bits of the retuned flagship config at
+    log_n, anchored at the largest measured retuned ring."""
+    n1, b1 = RETUNED_RUNS[-1]
+    return b1 - retuned_slope() * (log_n - n1)
+
 VALIDATION_TOL = 1.2  # bits
 
 

@@ -105,15 +105,21 @@ class ProductionConfig:
 
     log_n: int = 16
     user_levels: int = 4  # levels usable AFTER the bootstrap returns
-    # q0 just above the user band: the bootstrap's output precision is
-    # (EvalMod sine+wall bits) - log2(q0/Delta_user) — every bit of gap
-    # between q0 and the user scale is a bit of precision lost (measured:
-    # a 2^20 gap cost exactly ~20 bits in the mini config). 5 bits of gap
-    # buys |m| <= 16 of message headroom and costs 5 bits of precision.
-    log_q0: int = 45
-    log_em: int = 58  # EvalMod-band prime size (precision wall lives here)
+    # The r05 RETUNE (ARCHITECTURE §22): the measured noise wall lives in
+    # the ops at the LOW user/q0 landing scale, so the user band moved up
+    # to 52 bits (sweep: +6.09 bits at N=2^10) and the q0/user gap
+    # tightened to 3 (every gap bit is a precision bit; 3 bits still buys
+    # |m| <= 4 headroom, 13x above the amp-0.3 spec's max |m| ~ 1.05).
+    # Raising the landing scale also FLATTENS the ring-size slope from
+    # 1.68 to 0.5 bits/log_n-step (measured N=2^10 vs 2^12), which is what
+    # makes >= 20 bits reachable at N=2^16 at all.
+    log_q0: int = 55
+    # EvalMod-band prime size: the response is a KINK at 58 (em60 measured
+    # -3.66 bits, em56 +0.31) — 56 is on the flat side and its 38 saved
+    # ladder bits are what fit the raised user band inside HES-128.
+    log_em: int = 56
     log_mid: int = 52  # CtS/StC transform-band prime size
-    log_user: int = 40  # user-band prime size (the post-bootstrap levels)
+    log_user: int = 52  # user-band prime size (the post-bootstrap levels)
     log_p: int = 59  # aux primes
     alpha: int = 2  # primes per key-switch digit (P = alpha log_p-bit primes)
     chunk_r: int = 5  # sfft factors pre-multiplied per CtS/StC chunk

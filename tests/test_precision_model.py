@@ -57,3 +57,15 @@ def test_prediction_refuses_nothing_but_predicts_family():
 def test_extra_double_angles_cost_bits():
     m = P.fit()
     assert m.predict(10, r=P.r_family(10) + 1) < m.predict(10)
+
+
+def test_retuned_family_predicts_flagship_pass():
+    # the retuned (user52+gap3+em56) family: slope 0.5 bits/step measured
+    # at N=2^10 vs 2^12, flagship extrapolation >= 20 bits at N=2^16 —
+    # the prediction that gated the heavy-run launch (ARCHITECTURE §22)
+    assert 0.2 <= P.retuned_slope() <= 1.0, P.retuned_slope()
+    assert P.predict_flagship(16) >= 20.0, P.predict_flagship(16)
+    # and the retuned family sits ABOVE the base model at every ring
+    m = P.fit()
+    for log_n, bits in P.RETUNED_RUNS:
+        assert bits > m.predict(log_n), (log_n, bits)
