@@ -43,9 +43,10 @@ def main():
     ap.add_argument("--log-em", type=int, default=None)
     ap.add_argument("--chunk-r", type=int, default=None)
     ap.add_argument("--alpha", type=int, default=None)
+    ap.add_argument("--log-p", type=int, default=None)
     args = ap.parse_args()
     extra = {}
-    for name in ("log_q0", "log_user", "log_em", "chunk_r", "alpha"):
+    for name in ("log_q0", "log_user", "log_em", "chunk_r", "alpha", "log_p"):
         v = getattr(args, name)
         if v is not None:
             extra[name] = v

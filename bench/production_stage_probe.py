@@ -98,7 +98,13 @@ def main():
     t0 = time.time()
     slots = B.coeff_to_slot(bk, raised)
     v_cts = dec(slots)
-    want_cts = sifft(DDC.from_complex(v_low)).to_complex128()[rev]
+    # CtS oracle must INCLUDE the mod-raise wraps (the I*q0 terms EvalMod
+    # later removes): compare against sifft of the RAISED ciphertext's
+    # slot values, not the low ciphertext's — against the latter the wraps
+    # (magnitude ~K*q0/S_user) swamp the transform's own error and the row
+    # reads ~-14 "bits" on a pipeline whose end-to-end is 24+.
+    v_raised = dec(raised)
+    want_cts = sifft(DDC.from_complex(v_raised)).to_complex128()[rev]
     ref = np.max(np.abs(want_cts))
     e2 = np.max(np.abs(v_cts - want_cts))
     # CtS own-error relative to the MESSAGE amplitude in slot units: the
