@@ -73,41 +73,58 @@ SWEEP_BASE_BITS: float | None = None  # set by record_sweep()
 SWEEP_DELTAS: dict[str, float] = {}
 
 # Retuned-family probes (the r05 flagship knobs: user52 + gap3 + em56,
-# user_levels=4, 2026-08-20): bench/production_bootstrap_probe.py
-# --log-n {10,12} --log-user 52 --log-q0 55 --log-em 56. Bootstrap bits:
+# 2026-08-20): bench/production_bootstrap_probe.py / production_stage_probe
+# --log-user 52 --log-q0 55 [--log-em ..]. MEASURED bootstrap bits:
 #
-#   N=2^10: 25.6 (23.0 after 4 user squarings)
-#   N=2^12: 24.6 (22.6 after 4 user squarings)
+#   N=2^10: 25.6 (user_levels=4; 23.0 after 4 user squarings)
+#   N=2^12: 24.6 (user_levels=4; 22.6 after squarings)
+#   N=2^14: 20.43 (stage probe, user_levels=2)
+#   N=2^16: 15.7  (user_levels=4; 14.1 after squarings) — FAIL vs >= 20
 #
-# The raised landing scale FLATTENS the ring slope to 0.5 bits/log_n step
-# (vs the base family's 1.68): the base slope was dominated by the fixed
-# absolute landing noise measured against the amp/sqrt(l) coefficient
-# amplitude, and user52 lifts that wall, leaving only amplitude/wrap
-# growth. This flattening is what makes >= 20 bits reachable at N=2^16.
-# Knob composition is NOT additive between the ul2 sweep and ul4 probes
-# (user52's +6.09 at gap5/ul2 shrinks when combined with gap3 at ul4 —
-# the knobs relieve overlapping noise terms); the retuned family is
-# therefore extrapolated from its OWN two-ring slope, not from summed
-# sweep deltas. Cross-checks at ul4/ring10: chunk_r=8 variant 26.6 bits
-# (6.9x CtS cost — rejected on speed), alpha=1 variant 25.0 bits
-# (dnum-30 ksk noise — rejected).
+# TWO REGIMES, not one slope. Below ~2^12 the landing-scale noise binds
+# and the user52 lift flattens the slope to 0.5 bits/log_n; above 2^12
+# EvalMod's internally-generated error takes over (own-error attribution:
+# CtS/StC are exact at 41/31 bits, EvalMod binds at every ring >= 2^12)
+# and the slope steepens to 2.1-2.35 bits/step, consistent with
+#
+#     err_evalmod ∝ 4^r * (K+1) * sqrt(N) * 2^-log_em
+#
+# (per-squaring rescale rounding at the em working scale, amplified by the
+# r double-angles, the c*(K+1) output scaling, and sqrt(N) accumulation).
+# Measured knob response IN THIS REGIME: em56 -> em58 at 2^14 = +1.94
+# end-to-end bits (+0.95/bit — the em sign FLIPS vs the landing-bound
+# ring10 sweep where em60 lost 3.66). The 0.5-slope extrapolation from
+# the first two rings predicted 22.6 at 2^16 and measured 15.7 — the
+# two-ring extrapolation is recorded here as a calibration failure; any
+# flagship claim must rest on an EXECUTED run at the target ring
+# (PRODUCTION_r05.json is the ledger).
 RETUNED_RUNS = [
     (10, 25.6),
     (12, 24.6),
+    (14, 20.43),
+    (16, 15.7),
 ]
 
 
-def retuned_slope() -> float:
-    """Measured ring slope of the retuned flagship family (bits/log_n)."""
-    (n0, b0), (n1, b1) = RETUNED_RUNS[0], RETUNED_RUNS[-1]
-    return (b0 - b1) / (n1 - n0)
+def retuned_bits(log_n: int) -> float:
+    """MEASURED bootstrap bits of the retuned flagship family (linear
+    interpolation between measured rings; no extrapolation beyond them)."""
+    xs = [n for n, _ in RETUNED_RUNS]
+    ys = [b for _, b in RETUNED_RUNS]
+    if not xs[0] <= log_n <= xs[-1]:
+        raise ValueError(
+            f"log_n {log_n} outside the measured retuned family "
+            f"[{xs[0]}, {xs[-1]}] — run the probe, don't extrapolate"
+        )
+    import numpy as _np
+
+    return float(_np.interp(log_n, xs, ys))
 
 
-def predict_flagship(log_n: int = 16) -> float:
-    """Extrapolated bootstrap bits of the retuned flagship config at
-    log_n, anchored at the largest measured retuned ring."""
-    n1, b1 = RETUNED_RUNS[-1]
-    return b1 - retuned_slope() * (log_n - n1)
+def em_gain_evalmod_regime(d_em_bits: float) -> float:
+    """Measured em response where EvalMod binds (rings >= ~2^13):
+    +0.95 bits per em bit (em56 -> em58 at 2^14)."""
+    return 0.95 * d_em_bits
 
 VALIDATION_TOL = 1.2  # bits
 
