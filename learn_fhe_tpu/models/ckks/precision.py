@@ -105,6 +105,20 @@ RETUNED_RUNS = [
     (16, 15.7),
 ]
 
+# Flagship attempts at the target ring N=2^16 (full user_levels=4 runs,
+# PRODUCTION_r05.json): (chunk_r, log_em, log_p, measured_bits). Attempt 2
+# VALIDATED the in-regime em slope at the target ring itself — predicted
+# 15.7 + EM_SLOPE_EVALMOD*4 = 19.4, measured 19.6 (+0.2) — and showed
+# chunk_r is precision-NEUTRAL (CtS/StC own-errors are exact; only the
+# ladder bits it frees matter). The model's remaining certified-and-
+# above-spec prescription is em61 @ chunk8 (log_qp 1752 <= 1762, 129.2
+# security bits): predicted 20.5 — a PASS with no margin, UNEXECUTED.
+FLAGSHIP_ATTEMPTS_N16 = [
+    (5, 56, 59, 15.7),
+    (8, 60, 60, 19.6),
+]
+EM_SLOPE_EVALMOD = 0.93  # bits per em bit, validated 56->60 at N=2^16
+
 
 def retuned_bits(log_n: int) -> float:
     """MEASURED bootstrap bits of the retuned flagship family (linear
