@@ -110,14 +110,27 @@ RETUNED_RUNS = [
 # VALIDATED the in-regime em slope at the target ring itself — predicted
 # 15.7 + EM_SLOPE_EVALMOD*4 = 19.4, measured 19.6 (+0.2) — and showed
 # chunk_r is precision-NEUTRAL (CtS/StC own-errors are exact; only the
-# ladder bits it frees matter). The model's remaining certified-and-
-# above-spec prescription is em61 @ chunk8 (log_qp 1752 <= 1762, 129.2
-# security bits): predicted 20.5 — a PASS with no margin, UNEXECUTED.
+# ladder bits it frees matter).
 FLAGSHIP_ATTEMPTS_N16 = [
     (5, 56, 59, 15.7),
     (8, 60, 60, 19.6),
 ]
 EM_SLOPE_EVALMOD = 0.93  # bits per em bit, validated 56->60 at N=2^16
+
+# ...but the slope is only linear while rescale noise dominates: the em
+# response PEAKS near 60. Measured em family at N=2^14 (stage probes,
+# user_levels=2): 56 -> 20.43, 58 -> 22.37, 60 -> 24.15, 61 -> 23.36.
+# At em61 EvalMod's own error (2.27e-09) is within 2x of the
+# em-INDEPENDENT approximation floor (1.28e-09, the degree-30 arcsin
+# Chebyshev truncation), so pushing em past 60 buys nothing and a growing
+# em-proportional term costs ~0.8 bits. This falsified the em61@chunk8
+# flagship prescription (predicted 20.5) before a 3 h target-ring run —
+# use EM_PEAK, not the linear slope, for any config at em >= 60. The
+# remaining lever at the target ring is the floor itself (degree/arcsin),
+# which costs ~1 EvalMod level the HES-128 budget only affords via
+# alpha=1 (net predicted ~0-2 bits; unexecuted).
+EM_PEAK = 60
+EM14_FAMILY = [(56, 20.43), (58, 22.37), (60, 24.15), (61, 23.36)]
 
 
 def retuned_bits(log_n: int) -> float:
