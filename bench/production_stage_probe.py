@@ -42,9 +42,13 @@ def main():
     ap.add_argument("--log-q0", type=int, default=None)
     ap.add_argument("--log-em", type=int, default=None)
     ap.add_argument("--log-user", type=int, default=None)
+    # the approximation-floor lever (ARCHITECTURE §22 addendum): at em>=60
+    # EvalMod sits on the degree-30 arcsin Chebyshev truncation floor, so
+    # the remaining knob is the interpolation degree itself
+    ap.add_argument("--cheb-degree", type=int, default=None)
     args = ap.parse_args()
     kw = {}
-    for name in ("log_q0", "log_em", "log_user"):
+    for name in ("log_q0", "log_em", "log_user", "cheb_degree"):
         v = getattr(args, name)
         if v is not None:
             kw[name] = v
